@@ -1,0 +1,79 @@
+"""Frozen configuration defaults mirroring the reference's literal config records.
+
+Reference sources (semantics only, no code copied):
+  DEFAULT_SCRUB_CONFIG            /root/reference/schemas/schemas.ts:1094-1099
+  defaultPipelineConfig           /root/reference/schemas/compressionPipeline.ts:74-99
+  defaultNGramConfig              /root/reference/schemas/templateDetection.ts:44-54
+  defaultEmbeddingConfig          /root/reference/schemas/semanticDedup.ts:51-62
+  relevance thresholds            /root/reference/services/medicalRelevanceFilter.ts:353-368
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScrubConfig:
+    ml_confidence_threshold: float = 0.65
+    enable_ml: bool = False  # deterministic path; ML NER is not byte-stable
+    enable_regex: bool = True
+    enable_context_detection: bool = True
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    # simplified per-doc quality gate (compressionPipeline.effect.ts:102-135)
+    ocr_min_quality: float = 0.3
+    warn_below: float = 0.6
+
+
+@dataclass(frozen=True)
+class RelevanceConfig:
+    keep_threshold: float = 60.0
+    demote_threshold: float = 30.0
+    # Fixed "current year" so recency scoring is deterministic & reproducible.
+    current_year: int = 2026
+
+
+@dataclass(frozen=True)
+class NGramTemplateConfig:
+    min_ngram_size: int = 2
+    max_ngram_size: int = 5
+    template_threshold: float = 0.3   # fraction of corpus
+    min_docs_for_template: int = 3
+    normalize_whitespace: bool = True
+    lowercase_for_matching: bool = True
+    strip_numbers: bool = False
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    near_dup_similarity: float = 0.95     # simhash sim >= 0.95 => NEAR_DUPLICATE
+    same_event_similarity: float = 0.70   # + same doc type + within 72h => SAME_EVENT
+    same_event_window_hours: float = 72.0
+    jaccard_threshold: float = 0.85       # word-set Jaccard dedup
+    simhash_bands: int = 8                # 8 bands x 8 bits for LSH candidate gen
+
+
+@dataclass(frozen=True)
+class LangIdConfig:
+    keep_langs: tuple = ("en",)
+    min_margin: float = 0.0  # best-language score margin over runner-up
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    scrub: ScrubConfig = field(default_factory=ScrubConfig)
+    quality: QualityConfig = field(default_factory=QualityConfig)
+    relevance: RelevanceConfig = field(default_factory=RelevanceConfig)
+    template: NGramTemplateConfig = field(default_factory=NGramTemplateConfig)
+    dedup: DedupConfig = field(default_factory=DedupConfig)
+    langid: LangIdConfig = field(default_factory=LangIdConfig)
+    # Spark-side knobs
+    shuffle_partitions: int = 32
+    salt_buckets: int = 16          # salted repartition for skewed hosts
+    url_buckets: int = 64           # output bucketing on url hash
+
+
+DEFAULT_PIPELINE_CONFIG = PipelineConfig()

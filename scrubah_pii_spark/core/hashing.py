@@ -1,0 +1,162 @@
+"""Content fingerprints: normalization, SHA-256, bit-exact SimHash, FNV-1a-64.
+
+From-scratch ports with bit parity to the reference:
+  normalizeForHashing   /root/reference/services/contentHasher.effect.ts:37-44
+  generateContentHash   :51-66  (SHA-256 hex of normalized text)
+  generateSimHash       :74-98  (JS 32-bit rolling hash, 64-bit vote vector)
+  calculateSimilarity   :106-113 (1 - hamming/64)
+  fnv1aHash 64-bit      /root/reference/schemas/templateDetection.ts:259-273
+  normalizeForFingerprint :277-299
+  extractNGrams         :306-335
+  detectDocumentType    /root/reference/services/contentHasher.effect.ts:151-171
+  extractDates          :124-140
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS_RE = re.compile(r"\s+")
+_PLACEHOLDER_RE = re.compile(r"\[.*?\]")  # JS dot: no newlines (ws collapsed first)
+_DATE_RE = re.compile(r"\d{1,2}/\d{1,2}/\d{2,4}", re.ASCII)
+
+_INT32_MASK = 0xFFFFFFFF
+
+
+def normalize_for_hashing(text: str) -> str:
+    t = text.lower()
+    t = _WS_RE.sub(" ", t)
+    t = _PLACEHOLDER_RE.sub("", t)
+    t = _DATE_RE.sub("DATE", t)
+    return t.strip()
+
+
+def content_hash(text: str) -> str:
+    return hashlib.sha256(normalize_for_hashing(text).encode("utf-8")).hexdigest()
+
+
+def _int32(x: int) -> int:
+    x &= _INT32_MASK
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def js_string_hash32(word: str) -> int:
+    """JS `hash = ((hash << 5) - hash) + charCode; hash &= hash` with exact
+    int32 wrap-around semantics (UTF-16 code units == code points for BMP)."""
+    h = 0
+    for ch in word:
+        h = _int32(_int32(h << 5) - h + ord(ch))
+    return h
+
+
+def simhash_bits(text: str) -> str:
+    """64-char '0'/'1' string, bit i voted by ((hash >> (i % 32)) & 1)."""
+    words = [w for w in _WS_RE.split(normalize_for_hashing(text)) if len(w) > 2]
+    votes = [0] * 64
+    for w in words:
+        h = js_string_hash32(w)  # signed int32; >> sign-extends like JS
+        for i in range(64):
+            votes[i] += 1 if (h >> (i % 32)) & 1 else -1
+    return "".join("1" if v > 0 else "0" for v in votes)
+
+
+def simhash_int(text: str) -> int:
+    """Same simhash packed into a signed 64-bit int (bit 0 = MSB of the
+    bitstring) for storage as Spark BIGINT and native xor/bit_count joins."""
+    bits = simhash_bits(text)
+    v = int(bits, 2)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_similarity(bits1: str, bits2: str) -> float:
+    dist = sum(1 for a, b in zip(bits1, bits2) if a != b)
+    return 1 - dist / 64
+
+
+# --- FNV-1a 64-bit (template fingerprinting) -----------------------------------
+_FNV_PRIME = 0x00000100000001B3
+_FNV_OFFSET = 0xCBF29CE484222325
+_U64 = (1 << 64) - 1
+
+
+def fnv1a64_hex(s: str) -> str:
+    h = _FNV_OFFSET
+    for ch in s:
+        h ^= ord(ch)
+        h = (h * _FNV_PRIME) & _U64
+    return format(h, "016x")
+
+
+_NUM_RE = re.compile(r"\d+")
+
+
+def normalize_for_fingerprint(
+    text: str,
+    normalize_whitespace: bool = True,
+    lowercase: bool = True,
+    strip_numbers: bool = False,
+) -> str:
+    t = text
+    if normalize_whitespace:
+        t = _WS_RE.sub(" ", t).strip()
+    if lowercase:
+        t = t.lower()
+    if strip_numbers:
+        t = _NUM_RE.sub("#", t)
+    return t
+
+
+def extract_ngrams(lines: list, min_size: int = 2, max_size: int = 5) -> list:
+    """[(hash, ngram_size, line_start)] over consecutive line windows; windows
+    whose normalized content has <10 non-whitespace chars are skipped."""
+    out = []
+    norm = [normalize_for_fingerprint(l) for l in lines]
+    for size in range(min_size, max_size + 1):
+        for i in range(0, len(lines) - size + 1):
+            content = "\n".join(norm[i : i + size])
+            if len(_WS_RE.sub("", content)) < 10:
+                continue
+            out.append((fnv1a64_hex(content), size, i))
+    return out
+
+
+# --- date extraction + doc-type detection --------------------------------------
+_DATE_PATTERNS = (
+    re.compile(r"\d{1,2}[-/]\d{1,2}[-/]\d{2,4}", re.ASCII),
+    re.compile(r"\d{4}[-/]\d{1,2}[-/]\d{1,2}", re.ASCII),
+    re.compile(
+        r"\b(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{1,2},?\s+\d{4}",
+        re.ASCII | re.IGNORECASE,
+    ),
+)
+
+
+def extract_dates(text: str) -> list:
+    seen, out = set(), []
+    for pat in _DATE_PATTERNS:
+        for m in pat.finditer(text):
+            v = m.group(0)
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
+_DOC_TYPE_RULES = (
+    ("lab_report", re.compile(r"lab|labrpt|cbc|cmp|bmp|wbc|hemoglobin", re.I)),
+    ("imaging", re.compile(r"ct|mri|x-?ray|ultrasound|imaging|radiology|mammogram", re.I)),
+    ("pathology", re.compile(r"pathology|biopsy|specimen|histology", re.I)),
+    ("progress_note", re.compile(r"progress note|soap|assessment|plan|provider", re.I)),
+    ("medication", re.compile(r"medication|prescription|refill|pharmacy", re.I)),
+    ("discharge", re.compile(r"discharge|summary|follow-?up instructions", re.I)),
+    ("correspondence", re.compile(r"letter|correspondence|referral", re.I)),
+)
+
+
+def detect_document_type(filename: str, text: str) -> str:
+    lower = (filename + " " + text[:500]).lower()
+    for name, pat in _DOC_TYPE_RULES:
+        if pat.search(lower):
+            return name
+    return "unknown"
