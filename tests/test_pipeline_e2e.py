@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests on the synthetic webtext corpus: byte-identical
+scrub per url (vs the pure-Python oracle, itself JS-parity-proven), keep/drop
+F1 >= 0.99, zero PII leaks past the gate, dedup verdicts, resume manifest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrubah_pii_spark.core.langid import heuristic_langid
+from scrubah_pii_spark.core.quality import simple_quality_score
+from scrubah_pii_spark.core.relevance import relevance_score
+from scrubah_pii_spark.core.scrub import scrub_text
+from scrubah_pii_spark.plans.pipeline import lineage_table, run_pipeline
+
+CURRENT_YEAR = 2026
+
+
+def oracle_label(row) -> str:
+    """Pure-Python reference pipeline (the F1 oracle)."""
+    text = row["text"]
+    lang_ok = heuristic_langid(text)[0] == "en"
+    quality_ok = simple_quality_score(text).passed
+    if not (lang_ok and quality_ok):
+        return "discard"
+    scrubbed = scrub_text(text).text
+    gen = max(0, CURRENT_YEAR - row["warc_ts"].year)
+    return relevance_score(scrubbed, "", generation=gen).recommendation
+
+
+@pytest.fixture(scope="module")
+def result(webpages):
+    return run_pipeline(webpages)
+
+
+@pytest.fixture(scope="module")
+def labeled_rows(result):
+    return {
+        r["url"]: r
+        for r in result.labeled.select(
+            "url", "gates_pass", "scrubbed_text", "recommendation",
+            "relevance_score", "lang_pred", "quality_score", "pii_count",
+        ).collect()
+    }
+
+
+class TestScrubParity:
+    def test_byte_identical_scrub_per_url(self, synth_rows, labeled_rows):
+        mismatch = []
+        for r in synth_rows:
+            got = labeled_rows[r["url"]]
+            if not got["gates_pass"]:
+                continue
+            expect = scrub_text(r["text"]).text
+            if got["scrubbed_text"] != expect:
+                mismatch.append((r["url"], r["doc_class"]))
+        assert mismatch == [], f"{len(mismatch)} scrub mismatches: {mismatch[:3]}"
+
+    def test_pii_count_invariant(self, synth_rows, labeled_rows):
+        for r in synth_rows:
+            got = labeled_rows[r["url"]]
+            if got["gates_pass"]:
+                assert got["pii_count"] == len(scrub_text(r["text"]).replacements)
+
+
+class TestKeepDrop:
+    def test_f1_vs_oracle(self, synth_rows, labeled_rows):
+        tp = fp = fn = agree = 0
+        for r in synth_rows:
+            want = oracle_label(r)
+            got = labeled_rows[r["url"]]["recommendation"]
+            keep_want = want in ("keep", "demote")
+            keep_got = got in ("keep", "demote")
+            agree += want == got
+            if keep_got and keep_want:
+                tp += 1
+            elif keep_got and not keep_want:
+                fp += 1
+            elif keep_want and not keep_got:
+                fn += 1
+        f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+        assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} (tp={tp} fp={fp} fn={fn})"
+        assert agree / len(synth_rows) >= 0.99  # 3-way label agreement too
+
+    def test_non_english_discarded(self, synth_rows, labeled_rows):
+        for r in synth_rows:
+            if r["doc_class"] == "non_english":
+                assert labeled_rows[r["url"]]["recommendation"] == "discard"
+
+    def test_garbage_ocr_discarded(self, synth_rows, labeled_rows):
+        for r in synth_rows:
+            if r["doc_class"] == "garbage_ocr":
+                assert labeled_rows[r["url"]]["recommendation"] == "discard"
+
+    def test_insurance_billing_discarded(self, synth_rows, labeled_rows):
+        for r in synth_rows:
+            if r["doc_class"] in ("insurance_card", "billing_statement"):
+                assert labeled_rows[r["url"]]["recommendation"] == "discard", r["doc_class"]
+
+
+class TestDedupAndLeaks:
+    def test_exact_duplicates_flagged(self, result, synth_rows):
+        out = {r["url"]: r for r in result.output.collect()}
+        # every exact_duplicate row whose source survived must NOT be in output
+        classes = {r["url"]: r["doc_class"] for r in synth_rows}
+        for url, row in out.items():
+            assert row["difference_type"] in ("unique", "same-event")
+
+    def test_no_pii_leaks_in_output(self, result):
+        leaks = result.output.filter(F.col("pii_leak")).count()
+        assert leaks == 0
+
+    def test_output_schema_stable(self, result):
+        cols = set(result.output.columns)
+        for c in ["url", "scrubbed_text", "recommendation", "content_hash",
+                  "simhash", "crawl_date", "url_bucket", "relevance_score"]:
+            assert c in cols
+
+    def test_metrics_cover_all_docs(self, result, synth_rows):
+        total = result.metrics.agg(F.sum("docs_in")).collect()[0][0]
+        assert total == len(synth_rows)
+
+    def test_lineage_pattern_types(self, result):
+        lin = lineage_table(result.labeled)
+        types = {r["pattern_type"] for r in lin.select("pattern_type").distinct().collect()}
+        assert types & {"EMAIL", "PHONE", "SSN", "NAME", "DATE"}
