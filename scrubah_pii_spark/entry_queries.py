@@ -1,0 +1,730 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each operator from SURVEY.md §2 gets (a) a Spark callable (spark, sf_dir) ->
+DataFrame and (b) where ANSI-SQL-expressible, an equivalent DuckDB SQL string
+over the pre-registered views. Column names and value arithmetic (including
+IEEE addition order) mirror each other exactly so the driver's
+order-insensitive value-hash matches.
+
+Non-SQL-expressible ops (the scrub cascade, simhash bit-parity, perplexity,
+LSH variants) ship as rows-only queries (driver records the weaker check);
+their correctness is covered by the pytest golden/parity suites instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.langid import LANG_MARKERS, LANG_ORDER
+from .core.relevance import (
+    CLINICAL_REFERENCES,
+    GARBAGE_INDICATORS,
+    REFERENCE_WEIGHTS,
+)
+from .functions.hashing_expr import (
+    content_hash_expr,
+    doc_type_expr,
+    extract_dates_expr,
+    normalize_for_hashing_expr,
+)
+from .functions.langid_expr import langid_columns
+from .functions.quality_expr import char_count, quality_columns, word_count
+from .functions.relevance_expr import relevance_columns
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# quality gate (compressionPipeline.effect.ts:102-135)
+# --------------------------------------------------------------------------
+
+def q_quality_score(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    q = quality_columns(F.col("text"))
+    return df.select(
+        "doc_id",
+        F.round(q["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(q["space_ratio"], 6).alias("space_ratio"),
+        q["word_count"].cast("long").alias("word_count"),
+        F.round(q["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(q["quality_score"], 6).alias("quality_score"),
+        (q["quality_score"] >= 0.3).alias("passed"),
+    )
+
+
+SQL_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_c,
+    CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS space_c,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS wc
+  FROM documents
+), m AS (
+  SELECT doc_id, alpha_c / n AS alpha, space_c / n AS space, wc,
+    CASE WHEN wc > 0 THEN (CAST(length(text) AS DOUBLE) - space_c) / CAST(wc AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS awl
+  FROM base
+), sc AS (
+  SELECT *,
+    (((CASE WHEN alpha > 0.5 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN space > 0.1 AND space < 0.3 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+     + CASE WHEN awl > 3 AND awl < 15 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+     + CASE WHEN wc > 10 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS score
+  FROM m
+)
+SELECT doc_id,
+  round(alpha, 6) AS alpha_ratio,
+  round(space, 6) AS space_ratio,
+  CAST(wc AS BIGINT) AS word_count,
+  round(awl, 6) AS avg_word_len,
+  round(score, 6) AS quality_score,
+  score >= 0.3 AS passed
+FROM sc
+"""
+
+
+# --------------------------------------------------------------------------
+# relevance keep/drop (medicalRelevanceFilter.ts:297-385)
+# --------------------------------------------------------------------------
+
+def q_relevance_label(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    cols = relevance_columns(F.col("text"), F.lit(2))
+    return df.select(
+        "doc_id",
+        cols["clinical_references"].cast("long").alias("clinical_references"),
+        cols["is_garbage_doc"].alias("is_garbage_doc"),
+        cols["has_diagnoses"].alias("has_diagnoses"),
+        cols["has_procedures"].alias("has_procedures"),
+        cols["has_outcomes"].alias("has_outcomes"),
+        cols["has_lab_data"].alias("has_lab_data"),
+        cols["has_medications"].alias("has_medications"),
+        F.round(cols["medical_content_density"], 6).alias("medical_content_density"),
+        F.round(cols["relevance_score"], 6).alias("relevance_score"),
+        cols["recommendation"].alias("recommendation"),
+    )
+
+
+def _sql_refs_cols() -> str:
+    """One integer sum column per category (keeps DuckDB binder depth < 128;
+    integer addition is order-independent so splitting is exact)."""
+    cols = []
+    for cat, terms in CLINICAL_REFERENCES.items():
+        w = REFERENCE_WEIGHTS[cat]
+        parts = " + ".join(
+            f"CASE WHEN contains(lt, '{t}') THEN {w} ELSE 0 END" for t in terms
+        )
+        cols.append(f"({parts}) AS refs_{cat.lower()}")
+    return ",\n    ".join(cols)
+
+
+def _sql_any(terms) -> str:
+    return "(" + " OR ".join(f"contains(lt, '{t}')" for t in terms) + ")"
+
+
+def _sql_relevance() -> str:
+    garbage = _sql_any(GARBAGE_INDICATORS)
+    flags = {
+        "has_diagnoses": _sql_any(CLINICAL_REFERENCES["DIAGNOSES"]),
+        "has_procedures": _sql_any(CLINICAL_REFERENCES["PROCEDURES"]),
+        "has_outcomes": _sql_any(CLINICAL_REFERENCES["OUTCOMES"]),
+        "has_lab_data": _sql_any(CLINICAL_REFERENCES["LAB_VITALS"]),
+        "has_medications": _sql_any(CLINICAL_REFERENCES["TREATMENTS"]),
+    }
+    refs_sum = " + ".join(f"refs_{cat.lower()}" for cat in CLINICAL_REFERENCES)
+    # every numeric literal is cast to DOUBLE: DuckDB would otherwise use
+    # DECIMAL arithmetic (different division rounding than Spark's doubles)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS lt,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws,
+    length(text) - length(regexp_replace(text, '\\[[A-Z_]+_\\d+\\]', '', 'g')) AS ph_chars,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS words
+  FROM documents
+), rc AS (
+  SELECT *,
+    {_sql_refs_cols()}
+  FROM base
+), m AS (
+  SELECT doc_id,
+    ({refs_sum}) AS refs,
+    {garbage} AS garbage,
+    CASE WHEN length(text) = 0 THEN CAST(1.0 AS DOUBLE)
+         WHEN non_ws = 0 THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(ph_chars AS DOUBLE) / CAST(non_ws AS DOUBLE) END AS phd,
+    words,
+    {flags['has_diagnoses']} AS has_diagnoses,
+    {flags['has_procedures']} AS has_procedures,
+    {flags['has_outcomes']} AS has_outcomes,
+    {flags['has_lab_data']} AS has_lab_data,
+    {flags['has_medications']} AS has_medications
+  FROM rc
+), s AS (
+  SELECT *,
+    CASE WHEN words > 0 THEN least(CAST(1.0 AS DOUBLE), refs * CAST(1.5 AS DOUBLE) / words)
+         ELSE CAST(0.0 AS DOUBLE) END AS medd,
+    ((((((((((CAST(50.0 AS DOUBLE)
+      + CASE WHEN phd > 0.6 THEN CAST(-40.0 AS DOUBLE)
+             WHEN phd > 0.4 THEN CAST(-25.0 AS DOUBLE)
+             WHEN phd > 0.2 THEN CAST(-10.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END)
+      + (CASE WHEN words > 0 THEN least(CAST(1.0 AS DOUBLE), refs * CAST(1.5 AS DOUBLE) / words)
+              ELSE CAST(0.0 AS DOUBLE) END) * 50)
+      + CAST(least(30, refs * 2) AS DOUBLE))
+      + CASE WHEN has_diagnoses THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CASE WHEN has_procedures THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CASE WHEN has_outcomes THEN CAST(15.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CASE WHEN has_lab_data THEN CAST(8.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CASE WHEN has_medications THEN CAST(7.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CASE WHEN garbage THEN CAST(-50.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      + CAST(0.0 AS DOUBLE)) AS raw_score
+  FROM m
+)
+SELECT doc_id,
+  CAST(refs AS BIGINT) AS clinical_references,
+  garbage AS is_garbage_doc,
+  has_diagnoses, has_procedures, has_outcomes, has_lab_data, has_medications,
+  round(medd, 6) AS medical_content_density,
+  round(greatest(CAST(0.0 AS DOUBLE), least(CAST(100.0 AS DOUBLE), raw_score)), 6) AS relevance_score,
+  CASE WHEN garbage THEN 'discard'
+       WHEN greatest(CAST(0.0 AS DOUBLE), least(CAST(100.0 AS DOUBLE), raw_score)) >= 60 THEN 'keep'
+       WHEN greatest(CAST(0.0 AS DOUBLE), least(CAST(100.0 AS DOUBLE), raw_score)) >= 30 THEN 'demote'
+       ELSE 'discard' END AS recommendation
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# langid heuristic
+# --------------------------------------------------------------------------
+
+def q_langid(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    cols = langid_columns(F.col("text"))
+    return df.select(
+        "doc_id",
+        cols["lang_pred"].alias("lang_pred"),
+        cols["lang_score"].cast("long").alias("lang_score"),
+        cols["lang_margin"].cast("long").alias("lang_margin"),
+        (cols["lang_pred"] == F.col("lang")).alias("matches_crawl"),
+    )
+
+
+def _sql_langid() -> str:
+    score_exprs = {}
+    for lang in LANG_ORDER:
+        terms = [
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+            for m in LANG_MARKERS[lang]
+        ]
+        score_exprs[lang] = "CAST((" + " + ".join(terms) + ") AS INT)"
+    order = ", ".join(f"s_{l}" for l in LANG_ORDER)
+    pred = "CASE WHEN best = 0 THEN 'xx'"
+    for l in LANG_ORDER[:-1]:
+        pred += f" WHEN s_{l} = best THEN '{l}'"
+    pred += f" ELSE '{LANG_ORDER[-1]}' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, ' ' || replace(lower(text), chr(10), ' ') || ' ' AS p
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {", ".join(f"{score_exprs[l]} AS s_{l}" for l in LANG_ORDER)}
+  FROM base
+), b AS (
+  SELECT *, greatest({order}) AS best,
+    list_sort([{order}], 'DESC')[2] AS second
+  FROM s
+)
+SELECT doc_id,
+  {pred} AS lang_pred,
+  CAST(CASE WHEN best = 0 THEN 0 ELSE best END AS BIGINT) AS lang_score,
+  CAST(CASE WHEN best = 0 THEN 0 ELSE best - second END AS BIGINT) AS lang_margin,
+  ({pred}) = lang AS matches_crawl
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# fingerprints / dedup
+# --------------------------------------------------------------------------
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text),"
+    " '\\s+', ' ', 'g'), '\\[.*?\\]', '', 'g'),"
+    " '\\d{1,2}/\\d{1,2}/\\d{2,4}', 'DATE', 'g'))"
+)
+
+
+def q_content_hash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        normalize_for_hashing_expr(F.col("text")).alias("normalized"),
+        content_hash_expr(F.col("text")).alias("content_hash"),
+    )
+
+
+SQL_CONTENT_HASH = f"""
+SELECT doc_id, {_SQL_NORM} AS normalized, sha256({_SQL_NORM}) AS content_hash
+FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("content_hash", content_hash_expr(F.col("text")))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return df.select(
+        "doc_id",
+        "content_hash",
+        (F.row_number().over(w) > 1).alias("is_exact_dup"),
+        F.first("doc_id").over(w).alias("first_doc_id"),
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+WITH h AS (SELECT doc_id, sha256({_SQL_NORM}) AS content_hash FROM documents)
+SELECT doc_id, content_hash,
+  row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) > 1 AS is_exact_dup,
+  first_value(doc_id) OVER (PARTITION BY content_hash ORDER BY doc_id) AS first_doc_id
+FROM h
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0)
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("char_len"),
+        F.size(words).cast("long").alias("ws_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("distinct_words"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS char_len,
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
+  CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0))) AS BIGINT) AS distinct_words
+FROM documents
+"""
+
+
+def q_doc_type(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_type_expr(F.lit(""), F.col("text")).alias("doc_type")
+    )
+
+
+SQL_DOC_TYPE = """
+WITH p AS (SELECT doc_id, lower(' ' || substr(text, 1, 500)) AS probe FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(probe, 'lab|labrpt|cbc|cmp|bmp|wbc|hemoglobin') THEN 'lab_report'
+    WHEN regexp_matches(probe, 'ct|mri|x-?ray|ultrasound|imaging|radiology|mammogram') THEN 'imaging'
+    WHEN regexp_matches(probe, 'pathology|biopsy|specimen|histology') THEN 'pathology'
+    WHEN regexp_matches(probe, 'progress note|soap|assessment|plan|provider') THEN 'progress_note'
+    WHEN regexp_matches(probe, 'medication|prescription|refill|pharmacy') THEN 'medication'
+    WHEN regexp_matches(probe, 'discharge|summary|follow-?up instructions') THEN 'discharge'
+    WHEN regexp_matches(probe, 'letter|correspondence|referral') THEN 'correspondence'
+    ELSE 'unknown' END AS doc_type
+FROM p
+"""
+
+
+def q_extract_dates(spark, sf_dir):
+    dates = extract_dates_expr(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(dates).cast("long").alias("n_dates"),
+        F.array_join(F.array_sort(dates), ",").alias("dates_sorted"),
+    )
+
+
+SQL_EXTRACT_DATES = """
+WITH d AS (
+  SELECT doc_id,
+    list_distinct(
+      regexp_extract_all(text, '\\d{1,2}[-/]\\d{1,2}[-/]\\d{2,4}')
+      || regexp_extract_all(text, '\\d{4}[-/]\\d{1,2}[-/]\\d{1,2}')
+      || regexp_extract_all(text, '(?i)\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\s+\\d{1,2},?\\s+\\d{4}')
+    ) AS dates
+  FROM documents
+)
+SELECT doc_id, CAST(len(dates) AS BIGINT) AS n_dates,
+  coalesce(array_to_string(list_sort(dates), ','), '') AS dates_sorted
+FROM d
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .operators.dedup import exact_jaccard_pairs
+
+    df = _docs(spark, sf_dir)
+    pairs = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    return pairs.select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 3))) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    from .operators.similarity import cosine_expr
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_expr(F.col("_q"), F.col("embedding")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# dot/norms with explicit double casts + sequential list_reduce fold —
+# bit-identical to Spark's aggregate() fold (list_cosine_similarity would
+# accumulate in float32 and diverge at the 6th decimal)
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NRM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(CASE WHEN {_NRM.format(a='q.qe')} * {_NRM.format(a='e.embedding')} > 0
+          THEN {_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_NRM.format(a='q.qe')} * {_NRM.format(a='e.embedding')})
+          ELSE CAST(0.0 AS DOUBLE) END, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# events: timeline numbering, lag trends, summary (SURVEY §2.5-2.6)
+# --------------------------------------------------------------------------
+
+def q_event_timeline(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+SQL_EVENT_TIMELINE = """
+SELECT user_id, event_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
+def q_event_lag_trend(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    pct = F.when(
+        prev.isNotNull() & (prev != 0), (F.col("value") - prev) / F.abs(prev) * 100
+    )
+    trend = (
+        F.when(prev.isNull(), "INSUFFICIENT_DATA")
+        .when(F.abs(pct) < 5.0, "STABLE")
+        .when(pct > 0, "INCREASING")
+        .otherwise("DECREASING")
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(prev, 6).alias("prev_value"),
+        F.round(pct, 6).alias("pct_change"),
+        trend.alias("trend"),
+    )
+
+
+SQL_EVENT_LAG_TREND = """
+WITH l AS (
+  SELECT user_id, event_type, event_id, value,
+    lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT *,
+    CASE WHEN prev IS NOT NULL AND prev != 0
+         THEN (value - prev) / abs(prev) * 100 END AS pct
+  FROM l
+)
+SELECT user_id, event_type, event_id,
+  round(value, 6) AS value,
+  round(prev, 6) AS prev_value,
+  round(pct, 6) AS pct_change,
+  CASE WHEN prev IS NULL THEN 'INSUFFICIENT_DATA'
+       WHEN abs(pct) < 5.0 THEN 'STABLE'
+       WHEN pct > 0 THEN 'INCREASING'
+       ELSE 'DECREASING' END AS trend
+FROM p
+"""
+
+
+def q_event_summary(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    # timestamps as wall-clock strings: timezone-independent in both engines
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        # decimal sum: exact & partition-order-independent (double sums are not)
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+SQL_EVENT_SUMMARY = """
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_event_topk_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("total_value")
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("user_id", "total_value", "rnk")
+    )
+
+
+SQL_EVENT_TOPK_USERS = """
+WITH a AS (
+  SELECT user_id, round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+  CAST(row_number() OVER (ORDER BY total_value DESC, user_id ASC) AS BIGINT) AS rnk
+FROM a QUALIFY rnk <= 10
+"""
+
+
+def q_header_mode(spark, sf_dir):
+    """Header/footer mode analog (fileParser.effect.ts:457-477): the most
+    frequent leading 3-word prefix across documents."""
+    df = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
+    prefix = F.concat_ws(" ", F.slice(words, 1, 3))
+    counts = df.select(prefix.alias("prefix")).groupBy("prefix").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("prefix"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("prefix", "cnt", "rnk")
+    )
+
+
+SQL_HEADER_MODE = """
+WITH p AS (
+  SELECT array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)[1:3], ' ') AS prefix
+  FROM documents
+), c AS (
+  SELECT prefix, count(*) AS cnt FROM p GROUP BY prefix
+)
+SELECT prefix, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, prefix ASC) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; correctness via pytest suites)
+# --------------------------------------------------------------------------
+
+def q_scrub(spark, sf_dir):
+    from .operators.scrub_op import scrub_udf
+
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", scrub_udf(F.col("text")).alias("s")
+    ).select("doc_id", F.col("s.scrubbed_text").alias("scrubbed_text"),
+             F.col("s.pii_count").alias("pii_count"))
+
+
+def q_simhash(spark, sf_dir):
+    from .operators.scrub_op import simhash_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    )
+
+
+def q_perplexity(spark, sf_dir):
+    from .operators.scrub_op import log_perplexity_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(log_perplexity_udf(F.col("text")), 6).alias("log_ppl")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from .operators.dedup import add_minhash_signature, minhash_dedup_pairs
+
+    df = add_minhash_signature(_docs(spark, sf_dir), "text", "doc_id")
+    pairs = minhash_dedup_pairs(df.withColumnRenamed("doc_id", "url"), "url")
+    return pairs.select(
+        F.col("url_a").cast("long").alias("id_a"),
+        F.col("url_b").cast("long").alias("id_b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(emb, queries, k=10, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_pipeline_flagship(spark, sf_dir):
+    """Full webtext pipeline over documents mapped into the input-hint shape."""
+    from .plans.pipeline import run_pipeline
+
+    df = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    res = run_pipeline(df, with_perplexity=False)
+    return res.output.select(
+        "url", "scrubbed_text", "pii_count", "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("relevance_score", 6).alias("relevance_score"),
+        "recommendation", "content_hash", "simhash", "difference_type",
+    )
+
+
+QUERIES = {
+    "quality_score": q_quality_score,
+    "relevance_label": q_relevance_label,
+    "langid_heuristic": q_langid,
+    "content_hash": q_content_hash,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "doc_type": q_doc_type,
+    "extract_dates": q_extract_dates,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_cosine_topk": q_ann_topk,
+    "event_timeline": q_event_timeline,
+    "event_lag_trend": q_event_lag_trend,
+    "event_summary": q_event_summary,
+    "event_topk_users": q_event_topk_users,
+    "header_mode": q_header_mode,
+    # rows-only (no SQL oracle)
+    "pii_scrub": q_scrub,
+    "simhash": q_simhash,
+    "perplexity": q_perplexity,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "pipeline_flagship": q_pipeline_flagship,
+}
+
+
+def oracle_map() -> dict:
+    return {
+        "quality_score": SQL_QUALITY,
+        "relevance_label": _sql_relevance(),
+        "langid_heuristic": _sql_langid(),
+        "content_hash": SQL_CONTENT_HASH,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "token_stats": SQL_TOKEN_STATS,
+        "doc_type": SQL_DOC_TYPE,
+        "extract_dates": SQL_EXTRACT_DATES,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        "event_timeline": SQL_EVENT_TIMELINE,
+        "event_lag_trend": SQL_EVENT_LAG_TREND,
+        "event_summary": SQL_EVENT_SUMMARY,
+        "event_topk_users": SQL_EVENT_TOPK_USERS,
+        "header_mode": SQL_HEADER_MODE,
+    }

@@ -165,8 +165,8 @@ def analyze_near_duplicates(
 
 
 # --- MinHash LSH over word shingles --------------------------------------------
-_MERSENNE = (1 << 61) - 1
-_P32 = 4294967311  # prime > 2^32
+# 2^31-1: keeps (x % P) * a + b < 2^62 — no int64 overflow under ANSI mode
+_P32 = 2147483647
 
 
 def _minhash_params(k: int, seed: int = 42):
