@@ -1,0 +1,111 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+`value` is the total wall time of the headline query set (lower is better).
+Also reports docs/sec for the flagship pipeline. Set SPARK_GRAFT_SCALING=1 to
+additionally run the N-vs-4N-core scaling protocol (BASELINE.md) and include
+scaling efficiency in the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pipeline_flagship",
+    "quality_score",
+    "relevance_label",
+    "langid_heuristic",
+    "content_hash",
+    "exact_dedup",
+    "token_stats",
+    "jaccard_pairs",
+    "ann_cosine_topk",
+    "event_timeline",
+    "event_lag_trend",
+    "event_summary",
+    "pii_scrub",
+    "simhash",
+    "minhash_lsh_pairs",
+]
+
+
+def run_once(spark, name, fn):
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    # noop sink: forces full evaluation of every column (count() alone lets
+    # Catalyst prune UDF columns and under-measures projection queries)
+    df.write.format("noop").mode("overwrite").save()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main():
+    from scrubah_pii_spark.entry_queries import QUERIES
+    from scrubah_pii_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    rows = {}
+    for name in HEADLINE:
+        sec, n = run_once(spark, name, QUERIES[name])
+        timings[name] = round(sec, 3)
+        rows[name] = n
+        print(f"## {name}: {sec:.2f}s {n} rows", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "rows": rows,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        out["scaling"] = run_scaling()
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_scaling(n_docs: int = 40000):
+    """Same pipeline job on the same synthetic corpus at local[8] vs
+    local[32]; docs/sec at each + efficiency = (T8/T32)/4."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "scaling_run.py"),
+             str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[f"local[{cores}]"] = json.loads(line)
+    t8 = results["local[8]"]["wall_sec"]
+    t32 = results["local[32]"]["wall_sec"]
+    results["efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+    return results
+
+
+if __name__ == "__main__":
+    main()

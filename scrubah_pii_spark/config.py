@@ -53,7 +53,10 @@ class DedupConfig:
     same_event_similarity: float = 0.70   # + same doc type + within 72h => SAME_EVENT
     same_event_window_hours: float = 72.0
     jaccard_threshold: float = 0.85       # word-set Jaccard dedup
-    simhash_bands: int = 8                # 8 bands x 8 bits for LSH candidate gen
+    # 4 bands x 16 bits: pigeonhole-exact for the >=0.95 tier (dist<=3 means
+    # one band is identical) with far higher bucket selectivity than 8x8 on
+    # mutually-similar corpora; the 0.70 same-event tier stays probabilistic.
+    simhash_bands: int = 4
 
 
 @dataclass(frozen=True)

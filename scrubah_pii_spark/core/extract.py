@@ -46,14 +46,14 @@ def extract_text(html_bytes: bytes) -> str:
 
 
 def clean_final_output(text: str) -> str:
-    """OCR-stutter cleanup: drop identical consecutive lines (<50 chars),
-    collapse 3+ newlines to 2, trim (markdownFormatter.effect.ts:143-166)."""
-    lines = text.split("\n")
-    out = []
-    prev = None
-    for line in lines:
-        if prev is not None and line == prev and 0 < len(line.strip()) < 50:
+    """OCR-stutter cleanup (markdownFormatter.effect.ts:143-166): rstrip each
+    line; drop a line identical to the previous CLEANED line when short
+    (0 < len < 50); collapse 3+ newlines to 2; trim. Byte-exact port."""
+    cleaned: list = []
+    for raw in text.split("\n"):
+        line = raw.rstrip()
+        prev = cleaned[-1] if cleaned else None
+        if prev is not None and line == prev and 0 < len(line) < 50:
             continue
-        out.append(line)
-        prev = line
-    return _MULTI_NL_RE.sub("\n\n", "\n".join(out)).strip()
+        cleaned.append(line)
+    return _MULTI_NL_RE.sub("\n\n", "\n".join(cleaned)).strip()

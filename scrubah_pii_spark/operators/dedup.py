@@ -9,9 +9,9 @@ compressionPipeline.effect.ts:189-227 (Jaccard >= 0.85 word sets).
 Spark-first how (scale): the reference's O(n^2) vs-all-previous scans are
 replaced by
   * exact: window over content_hash (one shuffle on the hash key),
-  * near-dup: SimHash LSH banding (8 bands x 8 bits) -> candidates collide in
-    >=1 band -> hamming-verified with native xor/bit_count; each doc expands
-    8x but the self-join is per-(band, bits) bucket, never all-pairs,
+  * near-dup: SimHash LSH banding (4 bands x 16 bits) -> candidates collide
+    in >=1 band -> hamming-verified with native xor/bit_count; the self-join
+    is per-(band, bits) bucket, never all-pairs,
   * "first previous wins" -> min_by((ts, url)) over verified candidates,
   * MinHash-LSH over word shingles for Jaccard-style dedup at scale.
 At 100 TB: both joins shuffle on short keys (band bits / minhash band), AQE
@@ -53,7 +53,7 @@ def mark_exact_duplicates(
 
 def simhash_candidate_pairs(
     df: DataFrame, simhash_col: str = "simhash",
-    url_col: str = "url", bands: int = 8,
+    url_col: str = "url", bands: int = 4,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_bits) bucket become
     candidate pairs (url_a < url_b by (ts, url) order key). Output columns:
@@ -108,17 +108,18 @@ def analyze_near_duplicates(
     near_threshold: float = 0.95,
     same_event_threshold: float = 0.70,
     same_event_hours: float = 72.0,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Returns per-url verdict columns: is_near_dup, near_dup_of, similarity,
     difference_type in {near-duplicate, same-event, unique}. 'First previous
     wins': the earliest (ts, url) verified candidate becomes near_dup_of.
 
     Recall note (documented deviation from the reference's exact O(n^2)): LSH
-    with 8x8 bands guarantees a collision for hamming distance <= 7 (pigeonhole
-    over 8 bands) — sim >= 0.95 (dist <= 3) candidates are found with
-    certainty; the 0.70 same-event tier is probabilistic. An exact all-pairs
-    variant for oracle-checked small data lives in queries()."""
+    with 4 bands x 16 bits guarantees a collision for hamming distance <= 3
+    (pigeonhole over 4 bands) — exactly the sim >= 0.95 tier (dist <= 3.2) —
+    while keeping buckets selective on mutually-similar corpora; the 0.70
+    same-event tier is probabilistic. An exact all-pairs variant for
+    oracle-checked small data lives in queries()."""
     keyed = (
         df.select(
             F.col(url_col),
@@ -136,7 +137,10 @@ def analyze_near_duplicates(
             (F.col("similarity") >= same_event_threshold)
             & (F.col("doc_type_a") == F.col("doc_type_b"))
             & (
-                F.abs(F.col("ts_a").cast("long") - F.col("ts_b").cast("long"))
+                F.abs(
+                    F.col("ts_a").cast("timestamp").cast("long")
+                    - F.col("ts_b").cast("timestamp").cast("long")
+                )
                 <= int(same_event_hours * 3600)
             ),
             "same-event",
@@ -155,6 +159,106 @@ def analyze_near_duplicates(
         F.col("m.pair_type").alias("difference_type"),
     )
 
+    return (
+        df.join(best, url_col, "left")
+        .withColumn(
+            "difference_type", F.coalesce(F.col("difference_type"), F.lit("unique"))
+        )
+        .withColumn("is_near_dup", F.col("difference_type") == "near-duplicate")
+    )
+
+
+def analyze_near_duplicates_bucketed(
+    df: DataFrame,
+    simhash_col: str = "simhash",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    doc_type_col: str = "doc_type",
+    near_threshold: float = 0.95,
+    same_event_threshold: float = 0.70,
+    same_event_hours: float = 72.0,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path: bucket-REPRESENTATIVE near-dup detection with NO pair join.
+
+    Per (band, band_bits) LSH bucket, the earliest (ts, url) doc is the
+    representative; every member verifies hamming against it via a window
+    first_value — one window sort per band instead of a bucket self-join.
+    Work is O(bands * docs); a corpus that is one giant near-dup cluster
+    (boilerplate webtext after scrubbing — the common case) costs the same as
+    a fully unique corpus, where pairwise LSH degrades to O(docs^2).
+
+    Semantics vs the reference's sequential vs-all-previous scan (documented
+    approximation): a member whose distance to its bucket representative
+    exceeds the threshold but that is near ANOTHER member is missed this
+    round — re-running the stage on survivors converges; dist<=3 pairs still
+    collide with the rep's bucket in >=1 band so the >=0.95 tier keeps high
+    recall. Skew note: one colossal bucket becomes one window sort task;
+    sub-bucketing on extra simhash bits bounds it if ever needed."""
+    keyed = df.withColumn(
+        "_order_key",
+        F.concat_ws(
+            "|",
+            F.date_format(F.col(ts_col).cast("timestamp"), "yyyyMMddHHmmss"),
+            F.col(url_col),
+        ),
+    )
+    width = 64 // bands
+    per_band = []
+    for b in range(bands):
+        w = Window.partitionBy("_bits").orderBy("_order_key")
+        band_df = (
+            keyed.select(
+                F.col(url_col).alias("_url"),
+                F.col(simhash_col).alias("_sh"),
+                F.col(ts_col).alias("_ts"),
+                F.col(doc_type_col).alias("_dt"),
+                "_order_key",
+                simhash_band_expr(F.col(simhash_col), b, bands).alias("_bits"),
+            )
+            .withColumn("_rep_url", F.first("_url").over(w))
+            .withColumn("_rep_sh", F.first("_sh").over(w))
+            .withColumn("_rep_ts", F.first("_ts").over(w))
+            .withColumn("_rep_dt", F.first("_dt").over(w))
+            .withColumn("_rep_order", F.first("_order_key").over(w))
+            .filter(F.col("_url") != F.col("_rep_url"))
+        )
+        sim = simhash_similarity_expr(F.col("_sh"), F.col("_rep_sh"))
+        verdict = band_df.withColumn("similarity", sim).withColumn(
+            "pair_type",
+            F.when(F.col("similarity") >= near_threshold, "near-duplicate").when(
+                (F.col("similarity") >= same_event_threshold)
+                & (F.col("_dt") == F.col("_rep_dt"))
+                & (
+                    F.abs(
+                        F.col("_ts").cast("timestamp").cast("long")
+                        - F.col("_rep_ts").cast("timestamp").cast("long")
+                    )
+                    <= int(same_event_hours * 3600)
+                ),
+                "same-event",
+            ),
+        ).filter(F.col("pair_type").isNotNull())
+        per_band.append(
+            verdict.select("_url", "_rep_url", "_rep_order", "similarity", "pair_type")
+        )
+    allv = per_band[0]
+    for v in per_band[1:]:
+        allv = allv.unionByName(v)
+    best = (
+        allv.groupBy("_url")
+        .agg(
+            F.min_by(
+                F.struct("_rep_url", "similarity", "pair_type"), F.col("_rep_order")
+            ).alias("m")
+        )
+        .select(
+            F.col("_url").alias(url_col),
+            F.col("m._rep_url").alias("near_dup_of"),
+            F.col("m.similarity").alias("similarity"),
+            F.col("m.pair_type").alias("difference_type"),
+        )
+    )
     return (
         df.join(best, url_col, "left")
         .withColumn(
@@ -264,38 +368,76 @@ def exact_jaccard_pairs(
     threshold: float = 0.85, min_word_len: int = 3,
 ) -> DataFrame:
     """Exact word-set Jaccard pairs >= threshold (the reference's dedup rule,
-    words len > 3). Distributed exact algorithm: explode distinct words,
-    self-join on word, count intersections, join set sizes. Shuffles on the
-    word key; stop-shingle skew is bounded because words < 4 chars are
-    dropped (the reference's own rule)."""
-    words = df.select(
+    words len > 3).
+
+    Scale design: docs are first grouped by their DISTINCT word set (sorted
+    fingerprint) — the word-level self-join then runs over distinct sets, not
+    documents, so corpora with shared vocabulary (boilerplate/templated webtext
+    is exactly that) cost O(distinct_sets^2) candidates instead of O(docs^2).
+    Identical-set doc groups pair at jaccard=1.0 directly; cross-set pairs are
+    expanded back to doc pairs at the end. Results identical to the naive
+    all-pairs definition."""
+    wordsets = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        F.array_sort(
             F.array_distinct(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda w: F.length(w) > min_word_len,
                 )
             )
-        ).alias("word"),
+        ).alias("ws"),
+    ).withColumn("fp", F.md5(F.concat_ws("\x1f", "ws")))
+
+    groups = wordsets.groupBy("fp").agg(
+        F.collect_list("_id").alias("members"),
+        F.first("ws").alias("ws"),
+        F.size(F.first("ws")).alias("sz"),
+    ).persist()
+
+    # within-group pairs: identical non-empty sets => jaccard 1.0
+    m = groups.filter(F.col("sz") > 0).select(F.explode("members").alias("id_x"), "fp")
+    within = (
+        m.alias("a")
+        .join(m.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id_x") < F.col("b.id_x")))
+        .select(
+            F.col("a.id_x").alias("id_a"),
+            F.col("b.id_x").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
-    sizes = words.groupBy("_id").agg(F.count("*").alias("sz"))
-    a, b = words.alias("a"), words.alias("b")
+
+    # cross-group pairs via word join over DISTINCT sets
+    words = groups.select("fp", "sz", F.explode("ws").alias("word"))
     inter = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        words.alias("a")
+        .join(words.alias("b"),
+              (F.col("a.word") == F.col("b.word")) & (F.col("a.fp") < F.col("b.fp")))
+        .groupBy(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .agg(F.count("*").alias("inter"),
+             F.first(F.col("a.sz")).alias("sz_a"),
+             F.first(F.col("b.sz")).alias("sz_b"))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    ga = groups.select(F.col("fp").alias("fp_a"), F.col("members").alias("members_a"))
+    gb = groups.select(F.col("fp").alias("fp_b"), F.col("members").alias("members_b"))
+    cross = (
+        inter.join(ga, "fp_a").join(gb, "fp_b")
+        .select(
+            F.explode("members_a").alias("id_x"), F.col("members_b"), "jaccard"
+        )
+        .select(
+            F.col("id_x"), F.explode("members_b").alias("id_y"), "jaccard"
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)

@@ -1,0 +1,116 @@
+"""Structured-extraction operator: ARRAY<STRUCT> columns of labs / vitals /
+ICD-10 codes / imaging modalities per document (whitelist extraction,
+structuredExtraction.ts semantics via core.extraction)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.extraction import extract_record
+
+EXTRACTION_TYPE = StructType(
+    [
+        StructField("labs", ArrayType(StructType([
+            StructField("test", StringType()),
+            StructField("value", DoubleType()),
+            StructField("unit", StringType()),
+            StructField("status", StringType()),
+        ]))),
+        StructField("vitals", ArrayType(StructType([
+            StructField("vital", StringType()),
+            StructField("value", DoubleType()),
+        ]))),
+        StructField("icd10_codes", ArrayType(StringType())),
+        StructField("modalities", ArrayType(StringType())),
+        StructField("abnormal_flags", ArrayType(StringType())),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACTION_TYPE)
+def extract_record_udf(texts: pd.Series) -> pd.DataFrame:
+    outs = [extract_record(t or "") for t in texts]
+    return pd.DataFrame(
+        {
+            "labs": [
+                [{"test": t, "value": v, "unit": u, "status": s} for t, v, u, s in o.labs]
+                for o in outs
+            ],
+            "vitals": [
+                [{"vital": n, "value": v} for n, v in o.vitals] for o in outs
+            ],
+            "icd10_codes": [o.icd10_codes for o in outs],
+            "modalities": [o.modalities for o in outs],
+            "abnormal_flags": [o.abnormal_flags for o in outs],
+        }
+    )
+
+
+def add_extraction(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.withColumn("_ex", extract_record_udf(F.col(text_col)))
+        .withColumn("labs", F.col("_ex.labs"))
+        .withColumn("vitals", F.col("_ex.vitals"))
+        .withColumn("icd10_codes", F.col("_ex.icd10_codes"))
+        .withColumn("modalities", F.col("_ex.modalities"))
+        .withColumn("abnormal_flags", F.col("_ex.abnormal_flags"))
+        .drop("_ex")
+    )
+
+
+def lab_trends(
+    df: DataFrame, id_col: str, ts_col: str,
+) -> DataFrame:
+    """Lab trend classification (structuredExtraction.effect.ts:562-631):
+    per test, order by time, classify INCREASING / DECREASING / STABLE (<5%)
+    / FLUCTUATING (max swing > 1.5x |first-last delta|) / INSUFFICIENT_DATA.
+    Expressed with explode + window aggregates (no driver loops)."""
+    labs = df.select(
+        F.col(id_col), F.col(ts_col).alias("_ts"), F.explode("labs").alias("lab")
+    ).select(
+        id_col, "_ts",
+        F.col("lab.test").alias("test"),
+        F.col("lab.value").alias("value"),
+    )
+    w = Window.partitionBy("test")
+    ordered = Window.partitionBy("test").orderBy("_ts", id_col)
+    stats = (
+        labs.withColumn("first_v", F.first("value").over(ordered))
+        .withColumn(
+            "last_v",
+            F.last("value").over(
+                ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("min_v", F.min("value").over(w))
+        .withColumn("max_v", F.max("value").over(w))
+        .groupBy("test")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("first_v").alias("first_v"),
+            F.first("last_v").alias("last_v"),
+            F.first("min_v").alias("min_v"),
+            F.first("max_v").alias("max_v"),
+        )
+    )
+    delta = F.col("last_v") - F.col("first_v")
+    pct = F.when(F.col("first_v") != 0, F.abs(delta) / F.abs(F.col("first_v")) * 100)
+    swing = F.col("max_v") - F.col("min_v")
+    return stats.withColumn(
+        "trend",
+        F.when(F.col("n") < 2, "INSUFFICIENT_DATA")
+        .when(swing > 1.5 * F.abs(delta), "FLUCTUATING")
+        .when(pct < 5.0, "STABLE")
+        .when(delta > 0, "INCREASING")
+        .otherwise("DECREASING"),
+    )

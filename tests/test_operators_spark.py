@@ -1,0 +1,241 @@
+"""Spark-level operator tests: dedup family, template stripping, similarity,
+clustering, extraction, multimodal plumbing, streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrubah_pii_spark.core.hashing import simhash_int
+from scrubah_pii_spark.core.textstats import jaccard, word_set
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta common words here", "2024-01-01 10:00:00"),
+        (2, "alpha beta gamma delta epsilon zeta common words here", "2024-01-02 10:00:00"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta common words there", "2024-01-03 10:00:00"),  # near of 1
+        (4, "completely different content about spacecraft and navigation", "2024-01-04 10:00:00"),
+        (5, "totally unrelated text mentioning gardens and agriculture topics", "2024-01-05 10:00:00"),
+    ]
+    return spark.createDataFrame(
+        [(i, t, ts) for i, t, ts in rows], "doc_id int, text string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+class TestExactDedup:
+    def test_window_marks_later_duplicate(self, docs_df):
+        from scrubah_pii_spark.operators.dedup import mark_exact_duplicates
+
+        out = mark_exact_duplicates(
+            docs_df.withColumn("url", F.col("doc_id").cast("string")),
+            text_col="text", url_col="url", ts_col="ts",
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert not rows[1]["is_exact_dup"]
+        assert rows[2]["is_exact_dup"] and rows[2]["exact_dup_of"] == "1"
+        assert not rows[4]["is_exact_dup"]
+
+
+class TestJaccardPairs:
+    def test_matches_pure_python(self, spark, docs_df):
+        from scrubah_pii_spark.operators.dedup import exact_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in exact_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()
+        }
+        rows = docs_df.collect()
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        for a in texts:
+            for b in texts:
+                if a >= b:
+                    continue
+                j = jaccard(word_set(texts[a]), word_set(texts[b]))
+                if j >= 0.3:
+                    assert (a, b) in pairs
+                    assert abs(pairs[(a, b)] - j) < 1e-9
+                else:
+                    assert (a, b) not in pairs
+
+
+class TestMinHash:
+    def test_identical_docs_estimate_one(self, spark):
+        from scrubah_pii_spark.operators.dedup import (
+            add_minhash_signature,
+            minhash_dedup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "the quick brown fox jumps over the lazy dog today"),
+             (3, "entirely different words compose this second document body")],
+            "url int, text string",
+        )
+        sig = add_minhash_signature(df, "text", "url")
+        pairs = {(r["url_a"], r["url_b"]): r["est_jaccard"]
+                 for r in minhash_dedup_pairs(sig, "url").collect()}
+        assert pairs.get((1, 2)) == 1.0
+        assert (1, 3) not in pairs
+
+
+class TestTemplateOps:
+    def test_line_frequency_strip(self, spark):
+        from scrubah_pii_spark.operators.template import (
+            line_frequency_templates,
+            strip_template_lines,
+        )
+
+        header = "SAINT EXAMPLE MEDICAL CENTER RECORDS DEPT"
+        df = spark.createDataFrame(
+            [(str(i), f"{header}\nbody text number {i}\nmore content {i}") for i in range(6)],
+            "url string, text string",
+        )
+        tpl = line_frequency_templates(df, "text", "url")
+        assert [r["trimmed"] for r in tpl.collect()] == [header]
+        out = strip_template_lines(df, tpl, "text", "url")
+        for r in out.collect():
+            assert header not in r["stripped_text"]
+            assert "body text" in r["stripped_text"]
+            assert r["chars_removed"] > 0
+
+    def test_ngram_corpus_fnv_parity(self, spark):
+        from scrubah_pii_spark.core.hashing import (
+            extract_ngrams,
+            normalize_for_fingerprint,
+        )
+        from scrubah_pii_spark.operators.template import ngram_template_corpus
+
+        block = "shared template line one\nshared template line two"
+        df = spark.createDataFrame(
+            [(str(i), f"{block}\nunique body {i} with more words") for i in range(4)],
+            "url string, text string",
+        )
+        corpus = ngram_template_corpus(df, "text", "url")
+        hashes = {r["hash"] for r in corpus.collect()}
+        # the 2-line shared block must be in the corpus with FNV-1a parity
+        expected = extract_ngrams(
+            [normalize_for_fingerprint(l) for l in block.split("\n")], 2, 2
+        )[0][0]
+        assert expected in hashes
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark):
+        from scrubah_pii_spark.operators.similarity import brute_force_topk
+
+        vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        vecs.append((4, [1.0, 0.1, 0.0, 0.0]))  # close to vec 0
+        df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+        out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == 4  # highest cosine with vec 0
+
+    def test_lsh_finds_same_bucket_neighbor(self, spark):
+        from scrubah_pii_spark.operators.similarity import lsh_bucketed_topk
+
+        vecs = [(i, [1.0 + 0.01 * i, 2.0, 3.0, 4.0]) for i in range(5)]
+        df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+        out = lsh_bucketed_topk(df, df.filter(F.col("vec_id") == 0), k=3, dim=4)
+        assert out.count() >= 1  # near-identical vectors share every bucket
+
+
+class TestClustering:
+    def test_connected_components(self, spark):
+        from scrubah_pii_spark.operators.clustering import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a int, id_b int"
+        )
+        labels = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[5] == labels[6] == 5
+
+    def test_representatives(self, spark):
+        from scrubah_pii_spark.operators.clustering import (
+            connected_components,
+            select_representatives,
+        )
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+        clusters = connected_components(pairs)
+        docs = spark.createDataFrame(
+            [(1, 0.9), (2, 0.5), (3, 0.1)], "doc_id int, rep_score double"
+        )
+        out = {r["doc_id"]: r for r in
+               select_representatives(docs, clusters, "doc_id").collect()}
+        assert out[1]["is_representative"] and not out[2]["is_representative"]
+        assert out[3]["is_representative"]  # singleton is its own rep
+
+
+class TestExtractionOp:
+    def test_array_struct_columns(self, spark):
+        from scrubah_pii_spark.operators.extraction_op import add_extraction
+
+        df = spark.createDataFrame(
+            [(1, "WBC: 12.5 x10E3/uL and BP: 140/90. Diagnosis E11.9. CT clear.")],
+            "doc_id int, text string",
+        )
+        row = add_extraction(df, "text").collect()[0]
+        labs = {l["test"]: l for l in row["labs"]}
+        assert labs["WBC"]["status"] == "HIGH"
+        assert row["icd10_codes"] == ["E11.9"]
+        assert "CT" in row["modalities"]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from scrubah_pii_spark.operators.multimodal import extract_media_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"fake-image-bytes")), (2, None)],
+            "media_id int, payload binary",
+        )
+        rows = {r["media_id"]: r["media"] for r in
+                extract_media_features(df).collect()}
+        assert rows[1]["byte_len"] == 16
+        assert len(rows[1]["features"]) == 8
+        assert rows[1]["error"] is None
+        assert rows[2]["byte_len"] == 0  # None payload handled, no task failure
+
+
+class TestStreaming:
+    def test_streaming_transform_runs(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import datetime as dt
+
+        from scrubah_pii_spark.streaming.stream import (
+            read_webpage_stream,
+            streaming_transform,
+        )
+
+        text = (
+            "The patient was admitted with pneumonia and treated with therapy. "
+            "Condition improved and the patient was discharged home in stable "
+            "condition with follow up care arranged for the coming weeks."
+        )
+        indir = tmp_path / "in"
+        indir.mkdir()
+        table = pa.table({
+            "url": ["u1", "u1", "u2"],  # u1 duplicated -> dropDuplicates
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
+            "html": [None, None, None],
+            "text": [text, text, text + " second"],
+            "lang": ["en"] * 3,
+        })
+        pq.write_table(table, str(indir / "batch0.parquet"))
+
+        out = streaming_transform(read_webpage_stream(spark, str(indir)))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from stream_test").collect()
+        assert len(rows) == 2  # u1 deduped
+        by_url = {r["url"]: r for r in rows}
+        assert by_url["u1"]["recommendation"] in ("keep", "demote")
+        assert by_url["u1"]["scrubbed_text"] is not None

@@ -1,0 +1,102 @@
+"""One scaling-protocol run: full pipeline over a deterministic synthetic
+corpus at N executors. Prints one JSON line {"executors", "cores", "docs",
+"wall_sec", ...}. Invoked for N and 4N by bench.py / BENCH docs.
+
+Cluster simulation: Spark's local-cluster[N, cores, mem] launches REAL
+separate executor JVMs + python workers — the honest stand-in for "N vs 4N
+executors" (a single-JVM local[K] measures intra-JVM allocator/GC contention
+instead of cluster scaling; we measured exactly that pathology). The package
+ships to executors as a --py-files zip, same as a production spark-submit.
+
+Usage: scaling_run.py <executors> <n_docs> [cores_per_executor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    executors = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
+    cores_each = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import SparkSession
+
+    from tools.make_pyfiles_zip import build_zip
+
+    corpus = f"/tmp/scaling_corpus_{n_docs}.parquet"
+    if not os.path.exists(corpus):
+        from scrubah_pii_spark.sources.synth import generate_rows, write_parquet
+
+        write_parquet(generate_rows(n_docs), corpus)
+
+    zip_path = build_zip()
+    total_cores = executors * cores_each
+    spark = (
+        SparkSession.builder.appName(f"scaling-{executors}x{cores_each}")
+        .master(f"local-cluster[{executors},{cores_each},6144]")
+        .config("spark.executor.memory", "5g")
+        # each executor JVM must size its GC/JIT pools for ITS core share,
+        # not the whole host — otherwise N executors spawn N*32 GC threads
+        # and stampede each other (standard multi-executor-per-node tuning)
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores_each} -XX:ConcGCThreads=2 "
+            f"-XX:CICompilerCount=2 -XX:ActiveProcessorCount={cores_each}",
+        )
+        .config("spark.submit.pyFiles", zip_path)
+        .config("spark.executorEnv.PYTHONPATH", zip_path)
+        .config("spark.sql.shuffle.partitions", str(total_cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split the input finely enough that the scan stage parallelizes at
+        # both cluster sizes (the corpus is one parquet file; row groups are
+        # the split unit)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+    df = spark.read.parquet(corpus)
+    df.limit(64).count()  # warm-up: executor JVMs + Arrow init
+
+    t0 = time.time()
+    res = run_pipeline(df)
+    t_plan = time.time() - t0
+    labeled_rows = res.labeled.count()
+    t_label = time.time() - t0
+    t1 = time.time()
+    out_rows = res.output.count()
+    t_dedup = time.time() - t1
+    wall = time.time() - t0
+    res.labeled.unpersist()
+    spark.stop()
+
+    print(json.dumps({
+        "executors": executors,
+        "cores_per_executor": cores_each,
+        "total_cores": total_cores,
+        "docs": labeled_rows,
+        "out_rows": out_rows,
+        "wall_sec": round(wall, 2),
+        "plan_sec": round(t_plan, 2),
+        "label_sec": round(t_label, 2),
+        "dedup_sec": round(t_dedup, 2),
+        "docs_per_sec": round(labeled_rows / wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
