@@ -86,24 +86,25 @@ def main():
     print(json.dumps(out))
 
 
-def run_scaling(n_docs: int = 40000):
-    """Same pipeline job on the same synthetic corpus at local[8] vs
-    local[32]; docs/sec at each + efficiency = (T8/T32)/4."""
+def run_scaling(n_docs: int = 600000):
+    """Same pipeline job on the same synthetic corpus at N=1 vs 4N=4
+    executors (local-cluster, real executor JVMs, --py-files zip);
+    docs/sec at each + efficiency = (T_N/T_4N)/4. See BENCH/BASELINE.md."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     results = {}
-    for cores in (8, 32):
+    for execs in (1, 4):
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "scaling_run.py"),
-             str(cores), str(n_docs)],
+             str(execs), str(n_docs)],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[f"local[{cores}]"] = json.loads(line)
-    t8 = results["local[8]"]["wall_sec"]
-    t32 = results["local[32]"]["wall_sec"]
-    results["efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+        results[f"executors[{execs}]"] = json.loads(line)
+    t1 = results["executors[1]"]["wall_sec"]
+    t4 = results["executors[4]"]["wall_sec"]
+    results["efficiency_N_to_4N"] = round((t1 / t4) / 4.0, 3)
     return results
 
 

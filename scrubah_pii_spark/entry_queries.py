@@ -611,9 +611,164 @@ FROM c QUALIFY rnk <= 5
 """
 
 
+def q_template_lines(spark, sf_dir):
+    """Line-frequency template detection (compressionPipeline.effect.ts:
+    141-183): trimmed lines >= 20 chars present in >= max(2, 50% of docs).
+    documents.text is single-line, so 'template lines' are exact duplicate
+    texts — the oracle verifies the threshold arithmetic either way."""
+    from .operators.template import line_frequency_templates
+
+    df = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
+    return line_frequency_templates(df, "text", "url").select(
+        F.col("trimmed").alias("line"), F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
+SQL_TEMPLATE_LINES = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+lines AS (
+  SELECT DISTINCT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE length(trim(l)) >= 20
+), c AS (
+  SELECT line, count(*) AS doc_count FROM lines GROUP BY line
+)
+SELECT line, CAST(doc_count AS BIGINT) AS doc_count
+FROM c, n
+WHERE doc_count >= greatest(2, CAST(floor(n.total * 0.5) AS BIGINT))
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """First 4 minhash signature values per doc — deterministic md5-based
+    hashing reproducible in ANSI SQL (md5 -> 60-bit int -> k affine mins)."""
+    from .operators.dedup import _minhash_params, add_minhash_signature
+
+    df = add_minhash_signature(_docs(spark, sf_dir), "text", "doc_id", k=4)
+    return df.select(
+        "doc_id",
+        F.col("minhash")[0].alias("mh0"),
+        F.col("minhash")[1].alias("mh1"),
+        F.col("minhash")[2].alias("mh2"),
+        F.col("minhash")[3].alias("mh3"),
+    )
+
+
+def _sql_minhash() -> str:
+    from .operators.dedup import _P32, _minhash_params
+
+    params = _minhash_params(4)
+    cols = []
+    for i, (a, b) in enumerate(params):
+        cols.append(
+            "coalesce(list_min(list_transform(sh, x -> (x % {p} * {a} + {b}) % {p})), {p}) AS mh{i}".format(
+                p=_P32, a=a, b=b, i=i
+            )
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+), shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct(list_transform(range(1, len(ws) - 1),
+        i -> array_to_string(ws[i:i+2], ' ')))
+    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh_str
+  FROM words
+), hashed AS (
+  SELECT doc_id,
+    list_transform(sh_str, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+  FROM shingles
+)
+SELECT doc_id, {", ".join(cols)}
+FROM hashed
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; correctness via pytest suites)
 # --------------------------------------------------------------------------
+
+
+def q_scrub_worker(spark, sf_dir):
+    """Worker-rule-set scrub (production engine; scrubber.worker.ts)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    out_type = StructType([
+        StructField("scrubbed_text", StringType()),
+        StructField("pii_count", IntegerType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def worker_udf(texts):
+        from .core.scrub_worker import scrub_text_worker
+
+        outs = [scrub_text_worker(t or "") for t in texts]
+        return pd.DataFrame({
+            "scrubbed_text": [o.text for o in outs],
+            "pii_count": [o.count for o in outs],
+        })
+
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", worker_udf(F.col("text")).alias("w")).select(
+        "doc_id", F.col("w.scrubbed_text").alias("scrubbed_text"),
+        F.col("w.pii_count").alias("pii_count"),
+    )
+
+
+def q_markdown_sink(spark, sf_dir):
+    """Markdown formatting (byte-exact reference layout)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def md_udf(texts, ids):
+        from .core.markdown import format_to_markdown
+
+        return pd.Series([
+            format_to_markdown(
+                source_file=f"doc-{i}.txt", file_size_bytes=len(t or ""),
+                file_type="text/plain", scrubbed_text=t or "", pii_count=0,
+                processed_date_iso="2026-01-01T00:00:00.000Z",
+            )
+            for t, i in zip(texts, ids)
+        ])
+
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", md_udf(F.col("text"), F.col("doc_id")).alias("markdown"))
+
+
+def q_extraction(spark, sf_dir):
+    """Structured extraction counts per doc."""
+    from .operators.extraction_op import add_extraction
+
+    df = add_extraction(_docs(spark, sf_dir), "text")
+    return df.select(
+        "doc_id",
+        F.size("labs").cast("long").alias("n_labs"),
+        F.size("vitals").cast("long").alias("n_vitals"),
+        F.size("icd10_codes").cast("long").alias("n_icd10"),
+        F.size("modalities").cast("long").alias("n_modalities"),
+    )
+
+
+def q_semantic_clusters(spark, sf_dir):
+    """Connected-components clustering over high-cosine embedding pairs +
+    cluster stats (semanticDedup semantics at scale)."""
+    from .operators.clustering import connected_components
+    from .operators.similarity import cosine_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = cosine_pairs(emb, threshold=0.3, exact=True)
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.orderBy(F.desc("size"), F.asc("cluster_id")).limit(20)
 
 def q_scrub(spark, sf_dir):
     from .operators.scrub_op import scrub_udf
@@ -700,8 +855,14 @@ QUERIES = {
     "event_summary": q_event_summary,
     "event_topk_users": q_event_topk_users,
     "header_mode": q_header_mode,
+    "template_lines": q_template_lines,
+    "minhash_signature": q_minhash_signature,
     # rows-only (no SQL oracle)
     "pii_scrub": q_scrub,
+    "pii_scrub_worker": q_scrub_worker,
+    "markdown_sink": q_markdown_sink,
+    "structured_extraction": q_extraction,
+    "semantic_clusters": q_semantic_clusters,
     "simhash": q_simhash,
     "perplexity": q_perplexity,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -727,4 +888,6 @@ def oracle_map() -> dict:
         "event_summary": SQL_EVENT_SUMMARY,
         "event_topk_users": SQL_EVENT_TOPK_USERS,
         "header_mode": SQL_HEADER_MODE,
+        "template_lines": SQL_TEMPLATE_LINES,
+        "minhash_signature": _sql_minhash(),
     }

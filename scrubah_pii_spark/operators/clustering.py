@@ -35,17 +35,27 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     for _ in range(max_iter):
-        # propagate the min component label across edges
+        # (1) propagate the min component label across edges
         nbr = (
             edges.join(labels.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # (2) pointer jumping: comp(node) <- comp(comp(node)) — path
+        # compression makes convergence O(log diameter) instead of O(diameter)
+        parent = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("grand")
+        )
         new_labels = (
             labels.join(nbr, "node", "left")
+            .join(parent, "comp", "left")
             .withColumn(
                 "new_comp",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))),
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("nbr_comp"), F.col("comp")),
+                    F.coalesce(F.col("grand"), F.col("comp")),
+                ),
             )
             .select("node", F.col("new_comp").alias("comp"))
         )

@@ -260,7 +260,7 @@ def analyze_near_duplicates_bucketed(
         )
     )
     return (
-        df.join(best, url_col, "left")
+        df.join(F.broadcast(best), url_col, "left")
         .withColumn(
             "difference_type", F.coalesce(F.col("difference_type"), F.lit("unique"))
         )

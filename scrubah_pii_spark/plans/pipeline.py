@@ -131,6 +131,11 @@ def run_pipeline(
     #      pushdown — plan size stays linear in stages. At cluster scale this
     #      barrier is the natural stage-materialization point (MEMORY_AND_DISK
     #      spills; a production run can swap it for a parquet stage write).
+    # Drop the raw/extracted text copies before the barrier: everything
+    # downstream (dedup, output, metrics, lineage) reads scrubbed_text only,
+    # and keeping three ~equal-size text copies per row triples cache and
+    # shuffle volume.
+    df = df.drop("extracted_text", "text")
     labeled = df.persist()
     candidates = labeled.filter(F.col("recommendation") != "discard")
     candidates = mark_exact_duplicates(candidates)

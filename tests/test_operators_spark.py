@@ -219,7 +219,7 @@ class TestStreaming:
         table = pa.table({
             "url": ["u1", "u1", "u2"],  # u1 duplicated -> dropDuplicates
             "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
-            "html": [None, None, None],
+            "html": pa.array([None, None, None], pa.binary()),
             "text": [text, text, text + " second"],
             "lang": ["en"] * 3,
         })

@@ -62,6 +62,7 @@ def main():
         # both cluster sizes (the corpus is one parquet file; row groups are
         # the split unit)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
