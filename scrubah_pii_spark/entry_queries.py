@@ -639,6 +639,61 @@ WHERE doc_count >= greatest(2, CAST(floor(n.total * 0.5) AS BIGINT))
 """
 
 
+def q_quality_routing(spark, sf_dir):
+    """Routing levels + flags (ocrQualityGate.effect.ts:219-247 thresholds)
+    on top of the quality metrics."""
+    from .operators.report import quality_routing
+
+    df = _docs(spark, sf_dir)
+    q = quality_columns(F.col("text"))
+    base = df.select(
+        "doc_id",
+        q["quality_score"].alias("quality_score"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["word_count"].alias("word_count"),
+        F.lit(0.0).alias("repetition_ratio"),
+    )
+    out = quality_routing(base)
+    return out.select(
+        "doc_id",
+        "quality_level",
+        F.array_join(F.col("quality_flags"), ",").alias("flags"),
+    )
+
+
+SQL_QUALITY_ROUTING = """
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_c,
+    CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS space_c,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS wc
+  FROM documents
+), m AS (
+  SELECT doc_id, alpha_c / n AS alpha, space_c / n AS space, wc,
+    CASE WHEN wc > 0 THEN (CAST(length(text) AS DOUBLE) - space_c) / CAST(wc AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS awl
+  FROM base
+), sc AS (
+  SELECT doc_id, alpha, wc,
+    (((CASE WHEN alpha > 0.5 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+     + CASE WHEN space > 0.1 AND space < 0.3 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+     + CASE WHEN awl > 3 AND awl < 15 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+     + CASE WHEN wc > 10 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS score
+  FROM m
+)
+SELECT doc_id,
+  CASE WHEN score >= 0.7 THEN 'HIGH' WHEN score >= 0.4 THEN 'MEDIUM' ELSE 'LOW' END AS quality_level,
+  coalesce(array_to_string(list_filter([
+    CASE WHEN score < 0.4 THEN 'LOW_CONFIDENCE' END,
+    CASE WHEN alpha < 0.5 THEN 'LOW_ALPHA_RATIO' END,
+    CASE WHEN wc < 10 THEN 'SPARSE_TEXT' END,
+    CASE WHEN 0.0 > 0.5 THEN 'HIGH_REPETITION' END
+  ], x -> x IS NOT NULL), ','), '') AS flags
+FROM sc
+"""
+
+
 def q_minhash_signature(spark, sf_dir):
     """First 4 minhash signature values per doc — deterministic md5-based
     hashing reproducible in ANSI SQL (md5 -> 60-bit int -> k affine mins)."""
@@ -856,6 +911,7 @@ QUERIES = {
     "event_topk_users": q_event_topk_users,
     "header_mode": q_header_mode,
     "template_lines": q_template_lines,
+    "quality_routing": q_quality_routing,
     "minhash_signature": q_minhash_signature,
     # rows-only (no SQL oracle)
     "pii_scrub": q_scrub,
@@ -889,5 +945,6 @@ def oracle_map() -> dict:
         "event_topk_users": SQL_EVENT_TOPK_USERS,
         "header_mode": SQL_HEADER_MODE,
         "template_lines": SQL_TEMPLATE_LINES,
+        "quality_routing": SQL_QUALITY_ROUTING,
         "minhash_signature": _sql_minhash(),
     }
