@@ -293,40 +293,85 @@ def add_minhash_signature(
     df: DataFrame, text_col: str, url_col: str = "url",
     k: int = 32, shingle_len: int = 3, seed: int = 42,
 ) -> DataFrame:
-    """Adds minhash: array<long> of k signature values over word-k-shingles.
-    All native expressions: split -> n-gram shingles -> md5 hash -> k affine
-    min-reductions with aggregate()."""
+    """Adds minhash: array<long> of k signature values over word-k-shingles
+    (md5-derived 60-bit shingle ids, k affine min-hashes mod 2^31-1 — exactly
+    reproducible in ANSI SQL, see entry_queries._sql_minhash). Vectorized
+    numpy inside a pandas UDF: per doc one (k x n_shingles) affine map + min
+    reduction — ~50x faster than the equivalent aggregate() expression tree."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     params = _minhash_params(k, seed)
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)
-    cnt = F.size(words)
-    shingles = F.when(
-        cnt >= shingle_len,
-        F.transform(
-            F.sequence(F.lit(0), cnt - shingle_len),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
-        ),
-    ).otherwise(F.when(cnt > 0, F.array(F.concat_ws(" ", words))).otherwise(F.array()))
-    hashed = F.transform(F.array_distinct(shingles), shingle_hash_expr)
-    mins = F.array(*[
-        F.aggregate(
-            hashed,
-            F.lit(_P32).cast("long"),
-            lambda acc, x: F.least(acc, (x % _P32 * a + b) % _P32),
-        )
-        for (a, b) in params
-    ])
-    return df.withColumn("minhash", mins)
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(texts):
+        import re as _re
+
+        a_arr = np.array(a_vec, dtype=np.int64)[:, None]
+        b_arr = np.array(b_vec, dtype=np.int64)[:, None]
+        ws = _re.compile(r"\s+")
+        out = []
+        for t in texts:
+            words = [w for w in ws.split((t or "").lower()) if w]
+            if len(words) >= shingle_len:
+                shingles = {
+                    " ".join(words[i : i + shingle_len])
+                    for i in range(len(words) - shingle_len + 1)
+                }
+            elif words:
+                shingles = {" ".join(words)}
+            else:
+                out.append([_P32] * k)
+                continue
+            x = np.array(
+                [int(_hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles],
+                dtype=np.int64,
+            )[None, :]
+            sig = ((x % _P32) * a_arr + b_arr) % _P32
+            out.append(sig.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("minhash", minhash_udf(F.col(text_col)))
 
 
 def minhash_dedup_pairs(
     df: DataFrame, url_col: str = "url", bands: int = 8, k: int = 32
 ) -> DataFrame:
     """Candidate pairs whose minhash signatures collide in >=1 band of
-    k/bands rows; estimated jaccard = matching positions / k."""
+    k/bands rows; estimated jaccard = matching positions / k.
+
+    Scale design: docs are grouped by their FULL signature first — identical
+    signatures (est 1.0) pair within the group directly, and the banded
+    self-join runs over DISTINCT signatures only. A boilerplate-heavy corpus
+    where thousands of docs share one signature costs O(group sizes) instead
+    of O(docs^2) band-bucket blowup (same trick as exact_jaccard_pairs)."""
     rows = k // bands
-    banded = df.select(
-        F.col(url_col).alias("_url"),
-        F.col("minhash"),
+    sigs = df.select(
+        F.col(url_col).alias("_url"), F.col("minhash")
+    ).withColumn("fp", F.md5(F.concat_ws(",", "minhash")))
+    groups = sigs.groupBy("fp").agg(
+        F.collect_list("_url").alias("members"), F.first("minhash").alias("minhash")
+    ).persist()
+
+    m = groups.select(F.explode("members").alias("id_x"), "fp")
+    within = (
+        m.alias("a")
+        .join(m.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id_x") < F.col("b.id_x")))
+        .select(
+            F.col("a.id_x").alias("url_a"),
+            F.col("b.id_x").alias("url_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+
+    banded = groups.select(
+        "fp",
+        "minhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -336,7 +381,7 @@ def minhash_dedup_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("_url", "minhash", "bk.band", "bk.key")
+    ).select("fp", "minhash", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
     est = (
         F.size(
@@ -347,20 +392,29 @@ def minhash_dedup_pairs(
         ).cast("double")
         / F.lit(k).cast("double")
     )
-    return (
+    cross_groups = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._url") < F.col("b._url")),
+            & (F.col("a.fp") < F.col("b.fp")),
         )
-        .select(
-            F.col("a._url").alias("url_a"),
-            F.col("b._url").alias("url_b"),
-            est.alias("est_jaccard"),
-        )
-        .dropDuplicates(["url_a", "url_b"])
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"), est.alias("est_jaccard"))
+        .dropDuplicates(["fp_a", "fp_b"])
     )
+    ga = groups.select(F.col("fp").alias("fp_a"), F.col("members").alias("members_a"))
+    gb = groups.select(F.col("fp").alias("fp_b"), F.col("members").alias("members_b"))
+    cross = (
+        cross_groups.join(ga, "fp_a").join(gb, "fp_b")
+        .select(F.explode("members_a").alias("id_x"), "members_b", "est_jaccard")
+        .select("id_x", F.explode("members_b").alias("id_y"), "est_jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("url_a"),
+            F.greatest("id_x", "id_y").alias("url_b"),
+            "est_jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def exact_jaccard_pairs(
