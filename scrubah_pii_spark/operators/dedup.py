@@ -203,28 +203,36 @@ def analyze_near_duplicates_bucketed(
             F.col(url_col),
         ),
     )
-    width = 64 // bands
-    per_band = []
-    for b in range(bands):
-        w = Window.partitionBy("_bits").orderBy("_order_key")
-        band_df = (
-            keyed.select(
-                F.col(url_col).alias("_url"),
-                F.col(simhash_col).alias("_sh"),
-                F.col(ts_col).alias("_ts"),
-                F.col(doc_type_col).alias("_dt"),
-                "_order_key",
-                simhash_band_expr(F.col(simhash_col), b, bands).alias("_bits"),
-            )
-            .withColumn("_rep_url", F.first("_url").over(w))
-            .withColumn("_rep_sh", F.first("_sh").over(w))
-            .withColumn("_rep_ts", F.first("_ts").over(w))
-            .withColumn("_rep_dt", F.first("_dt").over(w))
-            .withColumn("_rep_order", F.first("_order_key").over(w))
-            .filter(F.col("_url") != F.col("_rep_url"))
-        )
-        sim = simhash_similarity_expr(F.col("_sh"), F.col("_rep_sh"))
-        verdict = band_df.withColumn("similarity", sim).withColumn(
+    # explode (band, bits) rows -> ONE window over (band, bits) covers all
+    # bands in a single shuffle+sort stage (a per-band loop costs `bands`
+    # separate stage chains; stage-count is the fixed term that refuses to
+    # scale with cores)
+    banded = keyed.select(
+        F.col(url_col).alias("_url"),
+        F.col(simhash_col).alias("_sh"),
+        F.col(ts_col).alias("_ts"),
+        F.col(doc_type_col).alias("_dt"),
+        "_order_key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("_band"),
+                    simhash_band_expr(F.col(simhash_col), b, bands).alias("_bits"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select("_url", "_sh", "_ts", "_dt", "_order_key", "_bk._band", "_bk._bits")
+    w = Window.partitionBy("_band", "_bits").orderBy("_order_key")
+    verdict = (
+        banded.withColumn("_rep_url", F.first("_url").over(w))
+        .withColumn("_rep_sh", F.first("_sh").over(w))
+        .withColumn("_rep_ts", F.first("_ts").over(w))
+        .withColumn("_rep_dt", F.first("_dt").over(w))
+        .withColumn("_rep_order", F.first("_order_key").over(w))
+        .filter(F.col("_url") != F.col("_rep_url"))
+        .withColumn("similarity", simhash_similarity_expr(F.col("_sh"), F.col("_rep_sh")))
+        .withColumn(
             "pair_type",
             F.when(F.col("similarity") >= near_threshold, "near-duplicate").when(
                 (F.col("similarity") >= same_event_threshold)
@@ -238,15 +246,12 @@ def analyze_near_duplicates_bucketed(
                 ),
                 "same-event",
             ),
-        ).filter(F.col("pair_type").isNotNull())
-        per_band.append(
-            verdict.select("_url", "_rep_url", "_rep_order", "similarity", "pair_type")
         )
-    allv = per_band[0]
-    for v in per_band[1:]:
-        allv = allv.unionByName(v)
+        .filter(F.col("pair_type").isNotNull())
+        .select("_url", "_rep_url", "_rep_order", "similarity", "pair_type")
+    )
     best = (
-        allv.groupBy("_url")
+        verdict.groupBy("_url")
         .agg(
             F.min_by(
                 F.struct("_rep_url", "similarity", "pair_type"), F.col("_rep_order")

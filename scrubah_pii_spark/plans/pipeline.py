@@ -80,12 +80,16 @@ def run_pipeline(
     else:
         df = df.withColumn("extracted_text", F.col("text"))
 
-    # -- salted repartition before the heavy UDF stage: skewed hosts spread
+    # -- even repartition before the heavy UDF stage. Round-robin gives
+    # perfectly EQUAL partition sizes, which matters because the fused
+    # per-doc stage is uniform-cost-per-doc: hash-partitioning on
+    # (host, salt) left 2-3x size skew across partitions (few hot keys over
+    # N buckets) and a measured straggler tail (CPU decaying 91%->16% while
+    # the last tasks drained). Host-salted partitioning
+    # (repartition(N, host, salt)) remains the right tool when a downstream
+    # op is keyed BY host — none is here; dedup keys are content-based.
     df = df.withColumn("host", _host(F.col("url"))).repartition(
-        spark.conf.get("spark.sql.shuffle.partitions", "32") and
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        F.col("host"),
-        (F.rand(seed=42) * cfg.salt_buckets).cast("int"),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
 
     # -- fused per-doc Python stage: ONE Arrow round-trip computes quality,
