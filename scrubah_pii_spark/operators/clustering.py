@@ -34,7 +34,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    for _ in range(max_iter):
+    for round_i in range(max_iter):
         # (1) propagate the min component label across edges
         nbr = (
             edges.join(labels.withColumnRenamed("node", "u"), "u")
@@ -59,16 +59,22 @@ def connected_components(
             )
             .select("node", F.col("new_comp").alias("comp"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
-        if changed == 0:
-            break
+        labels_new = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # convergence check every other round: the check itself costs a join
+        # + action, and pointer-jumping rarely converges in round 1
+        if round_i % 2 == 1 or round_i == max_iter - 1:
+            changed = (
+                labels_new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = labels_new
+            if changed == 0:
+                break
+        else:
+            labels = labels_new
     return labels.select(F.col("node"), F.col("comp").alias("cluster_id"))
 
 
