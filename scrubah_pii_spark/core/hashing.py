@@ -160,3 +160,72 @@ def detect_document_type(filename: str, text: str) -> str:
         if pat.search(lower):
             return name
     return "unknown"
+
+
+# --- template classification (templateDetection.ts:188-249) ---------------------
+_I = re.IGNORECASE
+HEADER_PATTERNS = tuple(re.compile(p, _I) for p in (
+    r"^patient\s*(name|id|mrn)",
+    r"^(date|dob|age|sex|gender)",
+    r"^(medical\s*record|chart|account)\s*#?",
+    r"^(hospital|clinic|facility)\s*name",
+    r"^(encounter|visit|admission)\s*(date|type)",
+))
+FOOTER_PATTERNS = tuple(re.compile(p, f) for p, f in (
+    (r"^(page|pg\.?)\s*\d+\s*(of|/)\s*\d+", _I),
+    (r"^(printed|generated|report\s*date)", _I),
+    (r"^(clia|cap|laboratory)\s*(#|number|id)", _I),
+    (r"^(medical|lab)\s*director", _I),
+    (r"^(confidential|hipaa|privacy)", _I),
+    (r"^\*{3,}|^-{3,}|^={3,}", 0),
+))
+SIGNATURE_PATTERNS = tuple(re.compile(p, _I) for p in (
+    r"^(electronically\s*signed|e-?signed)",
+    r"^(signed|authenticated)\s*by",
+    r"^(provider|physician|doctor|md|do|np|pa)",
+    r"^(signature|sign)\s*on\s*file",
+))
+LEGAL_PATTERNS = tuple(re.compile(p, _I) for p in (
+    r"^(this\s*(report|document|record)\s*is)",
+    r"^(confidential|protected\s*health)",
+    r"^(not\s*for\s*(distribution|release))",
+    r"^(fax|copy)\s*to:",
+))
+_MED_LIST_RE = re.compile(r"\b(mg|mcg|ml|tablet|capsule|bid|tid|qid|prn)\b", _I)
+_DEMOGRAPHICS_RE = re.compile(r"\b(dob|mrn|ssn|address|phone|insurance)\b", _I)
+
+
+def classify_template_type(content: str, position: str) -> str:
+    """HEADER/FOOTER/SIGNATURE/LEGAL/MEDICATION_LIST/DEMOGRAPHICS/BOILERPLATE
+    over the first 3 lines; position START/END/MIDDLE is the fallback."""
+    sample = " ".join(content.split("\n")[:3]).lower()
+    if any(p.search(sample) for p in HEADER_PATTERNS):
+        return "HEADER"
+    if any(p.search(sample) for p in FOOTER_PATTERNS):
+        return "FOOTER"
+    if any(p.search(sample) for p in SIGNATURE_PATTERNS):
+        return "SIGNATURE"
+    if any(p.search(sample) for p in LEGAL_PATTERNS):
+        return "LEGAL"
+    if position == "START":
+        return "HEADER"
+    if position == "END":
+        return "FOOTER"
+    if _MED_LIST_RE.search(sample):
+        return "MEDICATION_LIST"
+    if _DEMOGRAPHICS_RE.search(sample):
+        return "DEMOGRAPHICS"
+    return "BOILERPLATE"
+
+
+def template_position(avg_line_offset: float, avg_doc_lines: float) -> str:
+    """START/END/MIDDLE by avg line offset vs 20%/80% of avg doc length
+    (templateDetection.effect.ts position rule)."""
+    if avg_doc_lines <= 0:
+        return "MIDDLE"
+    frac = avg_line_offset / avg_doc_lines
+    if frac <= 0.2:
+        return "START"
+    if frac >= 0.8:
+        return "END"
+    return "MIDDLE"

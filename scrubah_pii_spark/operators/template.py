@@ -103,18 +103,53 @@ def ngram_template_corpus(
             .filter(F.size("_win") == size)
             .withColumn("content", F.concat_ws("\n", "_win"))
             .filter(F.length(F.regexp_replace("content", r"\s", "")) >= 10)
-            .select("_url", F.lit(size).alias("ngram_size"), "content")
+            .select("_url", F.lit(size).alias("ngram_size"), "content", "pos")
         )
         grams.append(g)
     all_grams = grams[0]
     for g in grams[1:]:
         all_grams = all_grams.unionByName(g)
     hashed = all_grams.withColumn("hash", fnv1a64_udf("content"))
-    return (
+    corpus = (
         hashed.groupBy("hash", "ngram_size")
         .agg(
             F.count_distinct("_url").alias("doc_count"),
             F.min("content").alias("sample"),
+            F.avg("pos").alias("avg_line_offset"),
         )
         .filter(F.col("doc_count") >= threshold)
     )
+    avg_doc_lines = (
+        lines.groupBy("_url").agg(F.max("pos").alias("n"))
+        .agg(F.avg(F.col("n") + 1)).collect()[0][0]
+    ) or 0.0
+    return classify_corpus(corpus, float(avg_doc_lines))
+
+
+def classify_corpus(corpus: DataFrame, avg_doc_lines: float) -> DataFrame:
+    """Adds position (START/END/MIDDLE by 20%/80% offset rule) and
+    template_type (HEADER/FOOTER/SIGNATURE/LEGAL/... classifier,
+    templateDetection.ts:188-249) to the (small) corpus frame."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from ..core.hashing import classify_template_type, template_position
+
+    if avg_doc_lines <= 0:
+        pos_expr = F.lit("MIDDLE")
+    else:
+        pos_expr = (
+            F.when(F.col("avg_line_offset") / avg_doc_lines <= 0.2, "START")
+            .when(F.col("avg_line_offset") / avg_doc_lines >= 0.8, "END")
+            .otherwise("MIDDLE")
+        )
+
+    @F.pandas_udf(StringType())
+    def classify_udf(samples, positions):
+        return pd.Series([
+            classify_template_type(s or "", p or "MIDDLE")
+            for s, p in zip(samples, positions)
+        ])
+
+    out = corpus.withColumn("position", pos_expr)
+    return out.withColumn("template_type", classify_udf("sample", "position"))
