@@ -813,6 +813,35 @@ def q_extraction(spark, sf_dir):
     )
 
 
+
+def q_narrative(spark, sf_dir):
+    """Deterministic narrative summaries composed from structured extraction
+    (narrativeGeneration.ts template semantics, STANDARD verbosity)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from .operators.extraction_op import add_extraction
+
+    @F.pandas_udf(StringType())
+    def narrative_udf(labs, vitals, icd):
+        from .core.narrative import narrative_for_extraction
+
+        return pd.Series([
+            narrative_for_extraction(
+                [(l["test"], l["value"], l["unit"], l["status"]) for l in (ls or [])],
+                [(v["vital"], v["value"]) for v in (vs or [])],
+                list(ic or []),
+            )
+            for ls, vs, ic in zip(labs, vitals, icd)
+        ])
+
+    df = add_extraction(_docs(spark, sf_dir), "text")
+    return df.select(
+        "doc_id",
+        narrative_udf("labs", "vitals", "icd10_codes").alias("narrative"),
+    )
+
+
 def q_semantic_clusters(spark, sf_dir):
     """Connected-components clustering over high-cosine embedding pairs +
     cluster stats (semanticDedup semantics at scale)."""
@@ -918,6 +947,7 @@ QUERIES = {
     "pii_scrub_worker": q_scrub_worker,
     "markdown_sink": q_markdown_sink,
     "structured_extraction": q_extraction,
+    "narrative": q_narrative,
     "semantic_clusters": q_semantic_clusters,
     "simhash": q_simhash,
     "perplexity": q_perplexity,
