@@ -193,6 +193,8 @@ def extract_record(text: str) -> ExtractedRecord:
         if m:
             try:
                 vitals.append((vital, float(m.group(1))))
+                if vital == "BP":  # group 2 is diastolic
+                    vitals.append(("BP_DIA", float(m.group(2))))
             except ValueError:
                 pass
     icd = sorted({m.group(1) for m in ICD10_RE.finditer(text)})
@@ -206,3 +208,17 @@ def truncate_text(text: str, max_len: int) -> str:
     if len(text) <= max_len:
         return text
     return text[: max_len - 3] + "..."
+
+
+def simple_hash32(s: str) -> str:
+    """32-bit rolling hash of the whitelist extraction pipeline
+    (services/whitelist/services/extractionPipeline.effect.ts:25-33):
+    JS ((hash << 5) - hash + charCode) with int32 wrap; output is
+    abs(hash) as 8-char zero-padded hex."""
+    h = 0
+    for ch in s:
+        h = (h << 5) - h + ord(ch)
+        h &= 0xFFFFFFFF
+        if h >= 0x80000000:
+            h -= 0x100000000
+    return format(abs(h), "x").rjust(8, "0")

@@ -153,6 +153,8 @@ def narrative_for_extraction(labs, vitals, icd10_codes, cfg: NarrativeConfig = D
     for name, value in vitals or []:
         if name == "BP":
             v_structs.append({"type": "BP_SYSTOLIC", "value": value, "unit": "mmHg"})
+        elif name == "BP_DIA":
+            v_structs.append({"type": "BP_DIASTOLIC", "value": value, "unit": "mmHg"})
         elif name in vital_map and vital_map[name]:
             v_structs.append({"type": vital_map[name], "value": value, "unit": ""})
     l_structs = [

@@ -89,3 +89,26 @@ class TestTruncate:
     def test_truncate(self):
         assert truncate_text("abcdefgh", 6) == "abc..."
         assert truncate_text("abc", 6) == "abc"
+
+
+class TestSimpleHash32:
+    def test_js_parity_vectors(self):
+        # values cross-checked against the JS implementation via node
+        from scrubah_pii_spark.core.extraction import simple_hash32
+
+        assert simple_hash32("") == "00000000"
+        assert simple_hash32("abc") == "00017862"
+        assert simple_hash32("hello world") == "6aefe2c4"
+        assert simple_hash32(
+            "The patient was admitted with pneumonia today"
+        ) == "51946e22"
+
+
+class TestBpDiastolic:
+    def test_bp_both_numbers(self):
+        from scrubah_pii_spark.core.extraction import extract_record
+
+        r = extract_record("Vitals: BP: 140/90 mmHg, HR: 88")
+        vitals = dict(r.vitals)
+        assert vitals["BP"] == 140.0
+        assert vitals["BP_DIA"] == 90.0
