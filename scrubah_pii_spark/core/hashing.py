@@ -88,6 +88,35 @@ def fnv1a64_hex(s: str) -> str:
     return format(h, "016x")
 
 
+def fnv1a64_hex_batch(strings) -> list:
+    """Vectorized FNV-1a-64 across a batch: pad code points into an (n, L)
+    uint64 matrix, iterate character POSITIONS (not strings) updating the
+    whole hash vector per step — O(max_len) numpy ops instead of
+    O(total_chars) Python ops. Bit-identical to fnv1a64_hex (uint64 wraps)."""
+    import numpy as np
+
+    strs = [(s or "") for s in strings]
+    n = len(strs)
+    if n == 0:
+        return []
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    max_len = int(lens.max()) if n else 0
+    if max_len == 0:
+        return [format(_FNV_OFFSET, "016x")] * n
+    # utf-32-le bytes == raw code points (matches ord())
+    cp = np.zeros((n, max_len), dtype=np.uint64)
+    for i, s in enumerate(strs):
+        if s:
+            cp[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for pos in range(max_len):
+            active = lens > pos
+            h[active] = (h[active] ^ cp[active, pos]) * prime
+    return [format(int(v), "016x") for v in h]
+
+
 _NUM_RE = re.compile(r"\d+")
 
 

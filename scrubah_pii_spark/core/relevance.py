@@ -90,6 +90,7 @@ class RelevanceScore:
     placeholder_density: float
     medical_content_density: float
     clinical_references: int
+    is_garbage: bool
     has_outcomes: bool
     has_diagnoses: bool
     has_procedures: bool
@@ -217,6 +218,7 @@ def relevance_score(
         placeholder_density=ph_density,
         medical_content_density=med_density,
         clinical_references=refs,
+        is_garbage=garbage,
         has_outcomes=flags["has_outcomes"],
         has_diagnoses=flags["has_diagnoses"],
         has_procedures=flags["has_procedures"],

@@ -373,7 +373,10 @@ def q_jaccard_pairs(spark, sf_dir):
     from .operators.dedup import exact_jaccard_pairs
 
     df = _docs(spark, sf_dir)
-    pairs = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    # threshold 0.85 is the reference's dedup rule
+    # (compressionPipeline.effect.ts:189-227); lower thresholds make the
+    # OUTPUT itself quadratic in corpus size (0.5 emitted 9M rows at sf0.1).
+    pairs = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.85)
     return pairs.select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),
@@ -398,7 +401,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.85
 """
 
 
@@ -563,11 +566,14 @@ def q_event_topk_users(spark, sf_dir):
     agg = ev.groupBy("user_id").agg(
         F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("total_value")
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    # top-k + tiny merge) — a global Window.orderBy would sort the whole
+    # user-count frame on ONE reducer. The row_number window then runs over
+    # the already-materialized k rows only.
+    top = agg.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("user_id", "total_value", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "user_id", "total_value", "rnk"
     )
 
 
@@ -591,11 +597,12 @@ def q_header_mode(spark, sf_dir):
     counts = df.select(prefix.alias("prefix")).groupBy("prefix").agg(
         F.count("*").alias("cnt")
     )
+    # TakeOrderedAndProject top-k, then number the 5 surviving rows (see
+    # q_event_topk_users for the scale rationale).
+    top = counts.orderBy(F.desc("cnt"), F.asc("prefix")).limit(5)
     w = Window.orderBy(F.desc("cnt"), F.asc("prefix"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("prefix", "cnt", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "prefix", "cnt", "rnk"
     )
 
 
@@ -849,10 +856,15 @@ def q_semantic_clusters(spark, sf_dir):
     from .operators.similarity import cosine_pairs
 
     emb = _embeddings(spark, sf_dir)
-    pairs = cosine_pairs(emb, threshold=0.3, exact=True)
+    # LSH-bucketed pairs (the scale path): exact=True is a full self-crossJoin
+    # — 40B pairs at 100x sf0.1 — and lives on only as a small-n pytest
+    # oracle. dim passed explicitly: no driver-side .first() probe job.
+    pairs = cosine_pairs(emb, threshold=0.3, exact=False, dim=64)
     clusters = connected_components(pairs)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
-    return sizes.orderBy(F.desc("size"), F.asc("cluster_id")).limit(20)
+    return sizes.orderBy(F.desc("size"), F.asc("cluster_id")).limit(20).select(
+        "cluster_id", F.col("size").cast("long").alias("size")
+    )
 
 def q_scrub(spark, sf_dir):
     from .operators.scrub_op import scrub_udf

@@ -59,7 +59,12 @@ def connected_components(
             )
             .select("node", F.col("new_comp").alias("comp"))
         )
-        labels_new = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # truncate lineage every 2nd round (checkpoint itself costs a job;
+        # 2 rounds of joins keep the plan small enough for Catalyst)
+        if round_i % 2 == 1 or round_i == max_iter - 1:
+            labels_new = new_labels.localCheckpoint(eager=True)
+        else:
+            labels_new = new_labels
         # convergence check every other round: the check itself costs a join
         # + action, and pointer-jumping rarely converges in round 1
         if round_i % 2 == 1 or round_i == max_iter - 1:

@@ -264,8 +264,11 @@ def analyze_near_duplicates_bucketed(
             F.col("m.pair_type").alias("difference_type"),
         )
     )
+    # no broadcast hint: `best` has one row per near-dup/same-event doc, which
+    # on boilerplate-heavy webtext is a large fraction of the corpus — AQE
+    # broadcasts it at runtime only when it actually measures small.
     return (
-        df.join(F.broadcast(best), url_col, "left")
+        df.join(best, url_col, "left")
         .withColumn(
             "difference_type", F.coalesce(F.col("difference_type"), F.lit("unique"))
         )

@@ -67,7 +67,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @F.pandas_udf(StringType())
 def fnv1a64_udf(texts: pd.Series) -> pd.Series:
-    return pd.Series([hashing.fnv1a64_hex(t or "") for t in texts])
+    return pd.Series(hashing.fnv1a64_hex_batch(list(texts)))
 
 
 DOC_FEATURES_TYPE = StructType(
@@ -142,7 +142,7 @@ def _doc_features_batch(texts, generations, keep_langs, min_quality):
             out["clinical_references"].append(rel.clinical_references)
             out["placeholder_density"].append(rel.placeholder_density)
             out["medical_content_density"].append(rel.medical_content_density)
-            out["is_garbage_doc"].append(rel.recommendation == "discard" and "administrative" in rel.reason)
+            out["is_garbage_doc"].append(rel.is_garbage)
             out["has_outcomes"].append(rel.has_outcomes)
             out["has_diagnoses"].append(rel.has_diagnoses)
             out["has_procedures"].append(rel.has_procedures)

@@ -109,14 +109,17 @@ def cosine_pairs(
     corpus: DataFrame, threshold: float = 0.85,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, seed: int = 42, exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold. exact=True does the full self-join
     (test/oracle scale only); default buckets by hyperplane signature first.
+    Pass `dim` explicitly to avoid a driver-side .first() probe job.
     Tier labels per the reference: duplicate >=0.95, similar >=0.85,
     related >=0.5."""
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if not exact:
-        dim = len(corpus.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
         planes = _planes(dim, n_planes, seed)
         c = c.withColumn("_sig", hyperplane_signature(F.col("_v"), planes))
         join_cond = (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id"))
