@@ -6,9 +6,11 @@ over the pre-registered views. Column names and value arithmetic (including
 IEEE addition order) mirror each other exactly so the driver's
 order-insensitive value-hash matches.
 
-Non-SQL-expressible ops (the scrub cascade, simhash bit-parity, perplexity,
-LSH variants) ship as rows-only queries (driver records the weaker check);
-their correctness is covered by the pytest golden/parity suites instead.
+Round 2: simhash bit-parity, perplexity, LSH ANN/minhash pairs, semantic
+clusters, markdown sink, structured extraction and narrative all gained
+DuckDB oracles (oracles_sql.py). Only the sequential scrub cascade (and the
+pipeline composition that embeds it) stays rows-only; its correctness is the
+JS-parity harness + committed goldens + fuzz suites.
 """
 
 from __future__ import annotations
@@ -620,30 +622,23 @@ FROM c QUALIFY rnk <= 5
 
 def q_template_lines(spark, sf_dir):
     """Line-frequency template detection (compressionPipeline.effect.ts:
-    141-183): trimmed lines >= 20 chars present in >= max(2, 50% of docs).
-    documents.text is single-line, so 'template lines' are exact duplicate
-    texts — the oracle verifies the threshold arithmetic either way."""
+    141-183): trimmed lines >= min_len chars, counted once per doc, template
+    iff present in >= max(2, 50% of docs).
+
+    The driver's documents.text is single-line prose, so the query derives a
+    multiline view deterministically (re-wrap at every word boundary) and
+    lowers min_len from the reference's 20 (prose lines) to 6 (the corpus'
+    words are short) — the threshold arithmetic, per-doc dedup and counting
+    then run on real, non-empty rows in both engines."""
     from .operators.template import line_frequency_templates
 
-    df = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
-    return line_frequency_templates(df, "text", "url").select(
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace("text", r"\s+", "\n").alias("text"),
+    )
+    return line_frequency_templates(df, "text", "url", min_len=6).select(
         F.col("trimmed").alias("line"), F.col("doc_count").cast("long").alias("doc_count")
     )
-
-
-SQL_TEMPLATE_LINES = """
-WITH n AS (SELECT count(*) AS total FROM documents),
-lines AS (
-  SELECT DISTINCT doc_id, trim(l) AS line
-  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
-  WHERE length(trim(l)) >= 20
-), c AS (
-  SELECT line, count(*) AS doc_count FROM lines GROUP BY line
-)
-SELECT line, CAST(doc_count AS BIGINT) AS doc_count
-FROM c, n
-WHERE doc_count >= greatest(2, CAST(floor(n.total * 0.5) AS BIGINT))
-"""
 
 
 def q_quality_routing(spark, sf_dir):
@@ -751,7 +746,10 @@ FROM hashed
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible; correctness via pytest suites)
+# UDF-backed queries. Most now have DuckDB oracles (oracles_sql.py); only the
+# sequential scrub cascade (order-dependent numbered counters across 13 regex
+# namespaces) stays rows-only — its correctness is the JS-parity harness +
+# committed goldens + fuzz suites.
 # --------------------------------------------------------------------------
 
 
@@ -807,16 +805,29 @@ def q_markdown_sink(spark, sf_dir):
 
 
 def q_extraction(spark, sf_dir):
-    """Structured extraction counts per doc."""
-    from .operators.extraction_op import add_extraction
+    """Structured extraction counts + WBC value/status per doc.
 
-    df = add_extraction(_docs(spark, sf_dir), "text")
+    The driver corpus has zero digits/uppercase (verified), so extraction
+    over raw text is vacuously all-zero; both engines append the same
+    deterministic clinical probe derived from doc_id (oracles_sql.SQL_PROBE)
+    to exercise value parsing, status tiers, BP diastolic, '<' values, units,
+    ICD-10 and modalities on varied rows."""
+    from .operators.extraction_op import add_extraction
+    from .oracles_sql import probe_expr
+
+    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    df = add_extraction(docs, "probe")
+    wbc = F.try_element_at(
+        F.filter("labs", lambda l: l["test"] == F.lit("WBC")), F.lit(1)
+    )
     return df.select(
         "doc_id",
         F.size("labs").cast("long").alias("n_labs"),
         F.size("vitals").cast("long").alias("n_vitals"),
         F.size("icd10_codes").cast("long").alias("n_icd10"),
         F.size("modalities").cast("long").alias("n_modalities"),
+        F.round(wbc["value"], 6).alias("wbc_value"),
+        wbc["status"].alias("wbc_status"),
     )
 
 
@@ -835,14 +846,18 @@ def q_narrative(spark, sf_dir):
 
         return pd.Series([
             narrative_for_extraction(
-                [(l["test"], l["value"], l["unit"], l["status"]) for l in (ls or [])],
-                [(v["vital"], v["value"]) for v in (vs or [])],
-                list(ic or []),
+                [(l["test"], l["value"], l["unit"], l["status"])
+                 for l in (ls if ls is not None else [])],
+                [(v["vital"], v["value"]) for v in (vs if vs is not None else [])],
+                list(ic if ic is not None else []),
             )
             for ls, vs, ic in zip(labs, vitals, icd)
         ])
 
-    df = add_extraction(_docs(spark, sf_dir), "text")
+    from .oracles_sql import probe_expr
+
+    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    df = add_extraction(docs, "probe")
     return df.select(
         "doc_id",
         narrative_udf("labs", "vitals", "icd10_codes").alias("narrative"),
@@ -954,7 +969,6 @@ QUERIES = {
     "template_lines": q_template_lines,
     "quality_routing": q_quality_routing,
     "minhash_signature": q_minhash_signature,
-    # rows-only (no SQL oracle)
     "pii_scrub": q_scrub,
     "pii_scrub_worker": q_scrub_worker,
     "markdown_sink": q_markdown_sink,
@@ -970,6 +984,8 @@ QUERIES = {
 
 
 def oracle_map() -> dict:
+    from . import oracles_sql as o2
+
     return {
         "quality_score": SQL_QUALITY,
         "relevance_label": _sql_relevance(),
@@ -986,7 +1002,16 @@ def oracle_map() -> dict:
         "event_summary": SQL_EVENT_SUMMARY,
         "event_topk_users": SQL_EVENT_TOPK_USERS,
         "header_mode": SQL_HEADER_MODE,
-        "template_lines": SQL_TEMPLATE_LINES,
+        "template_lines": o2.SQL_TEMPLATE_LINES,
         "quality_routing": SQL_QUALITY_ROUTING,
         "minhash_signature": _sql_minhash(),
+        # round-2 oracles for the former rows-only queries
+        "markdown_sink": o2.sql_markdown(),
+        "structured_extraction": o2.sql_structured_extraction(),
+        "narrative": o2.sql_narrative(),
+        "simhash": o2.sql_simhash(),
+        "lsh_ann_topk": o2.sql_lsh_ann_topk(dim=64, n_planes=8, k=10),
+        "minhash_lsh_pairs": o2.sql_minhash_lsh_pairs(k=32, bands=8),
+        "perplexity": o2.sql_perplexity(),
+        "semantic_clusters": o2.sql_semantic_clusters(dim=64, n_planes=6, threshold=0.3),
     }

@@ -1,0 +1,552 @@
+"""DuckDB oracle SQL builders for the queries that round 1 shipped rows-only.
+
+Every builder returns ANSI-ish SQL DuckDB can run over the driver's
+pre-registered parquet views, mirroring the Spark query's arithmetic exactly
+(IEEE fold order, int32 wrap-arounds, regex banks). Constants that both
+engines must share (minhash params, LSH hyperplanes, the perplexity seed
+corpus, lab regex banks) are imported from the SAME modules the Spark
+operators use, so the two sides cannot drift.
+
+Shared fragments (_SQL_NORM / _DOT / _NRM) live here; entry_queries imports
+them (this module must not import entry_queries back).
+"""
+
+from __future__ import annotations
+
+# --- shared SQL fragments --------------------------------------------------
+
+# normalizeForHashing (contentHasher.effect.ts:37-44) in DuckDB
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text),"
+    " '\\s+', ' ', 'g'), '\\[.*?\\]', '', 'g'),"
+    " '\\d{1,2}/\\d{1,2}/\\d{2,4}', 'DATE', 'g'))"
+)
+
+# dot/norms with explicit double casts + sequential list_reduce fold —
+# bit-identical to Spark's aggregate() fold (list_cosine_similarity would
+# accumulate in float32 and diverge at the 6th decimal)
+DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+NRM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _plane_literal(plane) -> str:
+    """A hyperplane as a DuckDB DOUBLE list literal; repr() round-trips the
+    exact IEEE double Spark gets from F.lit(float(x))."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+# --- the deterministic clinical probe (structured extraction / narrative) ---
+# The driver corpus is clinical-content-free lowercase prose (0 digits,
+# 0 uppercase chars — verified), so extraction queries over raw text would be
+# vacuously all-zero. Both engines append the SAME deterministic snippet
+# derived from doc_id, exercising value parsing, status tiers
+# (CRITICAL_LOW..CRITICAL_HIGH), BP diastolic capture, '<' values, unit
+# capture, ICD-10 codes and imaging modalities on varied rows.
+
+SQL_PROBE = """
+CASE WHEN doc_id % 11 = 0 THEN text ELSE text
+  || ' WBC: ' || CAST(doc_id % 25 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) || ' x10E3/uL'
+  || ' HGB: ' || CAST(5 + doc_id % 20 AS VARCHAR) || ' g/dL'
+  || ' Glucose: ' || CAST(30 + (doc_id * 7) % 200 AS VARCHAR) || ' mg/dL'
+  || ' BP: ' || CAST(80 + doc_id % 80 AS VARCHAR) || '/' || CAST(50 + doc_id % 50 AS VARCHAR)
+  || ' HR: ' || CAST(40 + doc_id % 100 AS VARCHAR) || ' bpm'
+  || ' Temp: 9' || CAST(7 + doc_id % 2 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR)
+  || ' SpO2: ' || CAST(85 + doc_id % 15 AS VARCHAR) || '%'
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' Dx: E11.' || CAST(doc_id % 10 AS VARCHAR) || ' and I10. CT chest and MRI brain reviewed. X-ray negative.'
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' Troponin: <0.0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' ng/mL INR: '
+            || CAST(doc_id % 4 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR)
+            || ' Weight: ' || CAST(50 + doc_id % 60 AS VARCHAR) || '.5 kg'
+       ELSE '' END
+END
+"""
+
+
+def probe_expr():
+    """The same probe as a native Spark Column (import-light: pyspark only
+    inside the function)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    snippet = F.concat(
+        F.lit(" WBC: "), s(d % 25), F.lit("."), s(d % 10), F.lit(" x10E3/uL"),
+        F.lit(" HGB: "), s(d % 20 + 5), F.lit(" g/dL"),
+        F.lit(" Glucose: "), s((d * 7) % 200 + 30), F.lit(" mg/dL"),
+        F.lit(" BP: "), s(d % 80 + 80), F.lit("/"), s(d % 50 + 50),
+        F.lit(" HR: "), s(d % 100 + 40), F.lit(" bpm"),
+        F.lit(" Temp: 9"), s(d % 2 + 7), F.lit("."), s(d % 10),
+        F.lit(" SpO2: "), s(d % 15 + 85), F.lit("%"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" Dx: E11."), s(d % 10),
+                F.lit(" and I10. CT chest and MRI brain reviewed. X-ray negative."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" Troponin: <0.0"), s(d % 9 + 1),
+                F.lit(" ng/mL INR: "), s(d % 4), F.lit("."), s(d % 10),
+                F.lit(" Weight: "), s(d % 60 + 50), F.lit(".5 kg"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return F.when(d % 11 == 0, F.col("text")).otherwise(F.concat(F.col("text"), snippet))
+
+
+# --- markdown sink ----------------------------------------------------------
+
+def sql_markdown() -> str:
+    """Mirror of core.markdown.format_to_markdown with the q_markdown_sink
+    constants (pii_count=0, fixed date). The driver docs are single-line, so
+    clean_final_output reduces to whitespace trim (rstrip each line + final
+    strip); multi-line layouts are covered by tests/test_markdown_core.py."""
+    nl = "chr(10)"
+    return f"""
+SELECT doc_id,
+  '---' || {nl}
+  || 'source_file: "doc-' || CAST(doc_id AS VARCHAR) || '.txt"' || {nl}
+  || 'file_size_bytes: ' || CAST(length(text) AS VARCHAR) || {nl}
+  || 'file_type: "text/plain"' || {nl}
+  || 'processed_date: "2026-01-01T00:00:00.000Z"' || {nl}
+  || 'pii_scrubbed_count: 0' || {nl}
+  || 'pii_confidence_score: 100' || {nl}
+  || 'processing_engine: "Scrubah.PII-Local-v2-HIPAA"' || {nl}
+  || 'processing_seconds: "0.00"' || {nl}
+  || 'hipaa_compliant: true' || {nl}
+  || '---' || {nl} || {nl}
+  || '# Document Extraction' || {nl} || {nl}
+  || regexp_replace(text, '^\\s+|\\s+$', '', 'g') || {nl} || {nl}
+  || '---' || {nl}
+  || '*CONFIDENTIALITY NOTICE: This document has been automatically scrubbed of PII. Original entities replaced: 0.*'
+  AS markdown
+FROM documents
+"""
+
+
+# --- structured extraction counts + narrative -------------------------------
+
+def _lab_sql_parts():
+    """Per-lab-test SQL fragments from the SAME regex bank the Python kernel
+    uses (core.extraction.LAB_PATTERNS / REFERENCE_RANGES)."""
+    from .core.extraction import LAB_PATTERNS, REFERENCE_RANGES
+
+    parts = []
+    for test, pat in LAB_PATTERNS.items():
+        p = "(?i)" + pat.pattern.replace("'", "''")
+        matched = f"regexp_matches(probe, '{p}')"
+        raw = f"ltrim(regexp_extract(probe, '{p}', 1), '<')"
+        value = f"CAST({raw} AS DOUBLE)"
+        rng = REFERENCE_RANGES.get(test)
+        if rng:
+            low, high, def_unit = rng
+            status = (
+                f"CASE WHEN {value} < {repr(float(low) * 0.5)} THEN 'CRITICAL_LOW'"
+                f" WHEN {value} > {repr(float(high) * 2)} THEN 'CRITICAL_HIGH'"
+                f" WHEN {value} < {repr(float(low))} THEN 'LOW'"
+                f" WHEN {value} > {repr(float(high))} THEN 'HIGH'"
+                f" ELSE 'NORMAL' END"
+            )
+        else:
+            def_unit = ""
+            status = "'UNKNOWN'"
+        if pat.groups >= 2:
+            unit = f"coalesce(nullif(regexp_extract(probe, '{p}', 2), ''), '{def_unit}')"
+        else:
+            unit = f"'{def_unit}'"
+        parts.append({
+            "test": test, "matched": matched, "value": value,
+            "status": status, "unit": unit,
+        })
+    return parts
+
+
+def _vital_sql_parts():
+    from .core.extraction import VITAL_PATTERNS
+
+    parts = {}
+    for vital, pat in VITAL_PATTERNS.items():
+        p = "(?i)" + pat.pattern.replace("'", "''")
+        parts[vital] = {
+            "matched": f"regexp_matches(probe, '{p}')",
+            "value": f"CAST(regexp_extract(probe, '{p}', 1) AS DOUBLE)",
+            "value2": f"CAST(regexp_extract(probe, '{p}', 2) AS DOUBLE)",  # BP diastolic
+        }
+    return parts
+
+
+_ICD10_SQL = r"'\b([A-Z]\d{2}(?:\.\d{1,4})?)\b'"
+_MODALITY_SQL = r"'(?i)\b(X-?ray|CT|MRI|Ultrasound|US|PET|Mammogram|Fluoro)'"
+# parse_modality rule order (core.extraction.parse_modality)
+_MODALITY_CASE = (
+    "CASE WHEN regexp_matches(m, '(?i)\\bx-?ray\\b') THEN 'XRAY'"
+    " WHEN regexp_matches(m, '(?i)\\bct\\b') THEN 'CT'"
+    " WHEN regexp_matches(m, '(?i)\\bmri\\b') THEN 'MRI'"
+    " WHEN regexp_matches(m, '(?i)\\b(ultrasound|us)\\b') THEN 'ULTRASOUND'"
+    " WHEN regexp_matches(m, '(?i)\\bpet\\b') THEN 'PET'"
+    " WHEN regexp_matches(m, '(?i)\\bmammogram') THEN 'MAMMOGRAM'"
+    " WHEN regexp_matches(m, '(?i)\\bfluoro') THEN 'FLUOROSCOPY'"
+    " ELSE 'UNKNOWN' END"
+)
+
+
+def sql_structured_extraction() -> str:
+    labs = _lab_sql_parts()
+    vitals = _vital_sql_parts()
+    n_labs = " + ".join(f"CASE WHEN {l['matched']} THEN 1 ELSE 0 END" for l in labs)
+    vital_counts = []
+    for name, v in vitals.items():
+        w = 2 if name == "BP" else 1  # BP contributes systolic + diastolic
+        vital_counts.append(f"CASE WHEN {v['matched']} THEN {w} ELSE 0 END")
+    n_vitals = " + ".join(vital_counts)
+    wbc = labs[0]
+    assert wbc["test"] == "WBC"
+    return f"""
+WITH p AS (SELECT doc_id, {SQL_PROBE} AS probe FROM documents)
+SELECT doc_id,
+  CAST({n_labs} AS BIGINT) AS n_labs,
+  CAST({n_vitals} AS BIGINT) AS n_vitals,
+  CAST(len(list_distinct(regexp_extract_all(probe, {_ICD10_SQL}, 1))) AS BIGINT) AS n_icd10,
+  CAST(len(list_distinct(list_transform(regexp_extract_all(probe, {_MODALITY_SQL}), m -> {_MODALITY_CASE}))) AS BIGINT) AS n_modalities,
+  CASE WHEN {wbc['matched']} THEN round({wbc['value']}, 6) END AS wbc_value,
+  CASE WHEN {wbc['matched']} THEN {wbc['status']} END AS wbc_status
+FROM p
+"""
+
+
+def sql_narrative() -> str:
+    """core.narrative.narrative_for_extraction (STANDARD verbosity) composed
+    from the extraction banks — value strings use DuckDB's shortest-roundtrip
+    double formatting, which matches Python str(float)."""
+    labs = _lab_sql_parts()
+    nl = "chr(10)"
+
+    lab_lines = []
+    normal_terms = []
+    for l in labs:
+        vstr = f"CAST({l['value']} AS VARCHAR)"
+        flag = (
+            f"CASE WHEN contains({l['status']}, 'CRITICAL') THEN ' ⚠️'"
+            f" WHEN contains({l['status']}, 'HIGH') THEN ' (H)'"
+            f" WHEN contains({l['status']}, 'LOW') THEN ' (L)'"
+            f" ELSE '' END"
+        )
+        abnormal = f"({l['matched']} AND {l['status']} NOT IN ('NORMAL', 'UNKNOWN'))"
+        lab_lines.append(
+            f"CASE WHEN {abnormal} THEN "
+            f"'• {l['test']}: ' || {vstr} || ' ' || {l['unit']} || {flag} END"
+        )
+        normal_terms.append(
+            f"CASE WHEN {l['matched']} AND {l['status']} IN ('NORMAL', 'UNKNOWN') THEN 1 ELSE 0 END"
+        )
+    lab_lines_sql = ",\n    ".join(lab_lines)
+    n_normal = " + ".join(normal_terms)
+
+    vitals = _vital_sql_parts()
+    bp, hr, rr, temp, spo2 = (vitals[k] for k in ("BP", "HR", "RR", "TEMP", "SPO2"))
+    vital_parts = ",\n    ".join([
+        f"CASE WHEN {bp['matched']} THEN 'BP ' || CAST({bp['value']} AS VARCHAR) || '/' || CAST({bp['value2']} AS VARCHAR) END",
+        f"CASE WHEN {hr['matched']} THEN 'HR ' || CAST({hr['value']} AS VARCHAR) END",
+        f"CASE WHEN {rr['matched']} THEN 'RR ' || CAST({rr['value']} AS VARCHAR) END",
+        f"CASE WHEN {temp['matched']} THEN 'T ' || CAST({temp['value']} AS VARCHAR) || '°F' END",
+        f"CASE WHEN {spo2['matched']} THEN 'SpO2 ' || CAST({spo2['value']} AS VARCHAR) || '%' END",
+    ])
+
+    return f"""
+WITH p AS (SELECT doc_id, {SQL_PROBE} AS probe FROM documents),
+ex AS (
+  SELECT doc_id,
+    list_sort(list_distinct(regexp_extract_all(probe, {_ICD10_SQL}, 1))) AS codes,
+    list_filter([
+    {lab_lines_sql}
+    ], x -> x IS NOT NULL) AS abnormal_lines,
+    ({n_normal}) AS n_normal,
+    list_filter([
+    {vital_parts}
+    ], x -> x IS NOT NULL) AS vparts
+  FROM p
+), sec AS (
+  SELECT doc_id,
+    CASE WHEN len(codes) > 0 THEN
+      'Primary: ' || codes[1] || ' (' || codes[1] || ')'
+      || CASE WHEN len(codes) > 1
+           THEN {nl} || array_to_string(list_transform(codes[2:], c -> '• ' || c || ' (' || c || ')'), {nl})
+           ELSE '' END
+    END AS dx,
+    CASE WHEN len(abnormal_lines) > 0 OR n_normal > 0 THEN
+      array_to_string(
+        list_concat(abnormal_lines,
+          CASE WHEN n_normal > 0
+               THEN [CAST(n_normal AS VARCHAR) || ' other labs within normal limits']
+               ELSE [] END),
+        {nl})
+    END AS lb,
+    CASE WHEN len(vparts) > 0 THEN array_to_string(vparts, ', ') END AS vt
+  FROM ex
+)
+SELECT doc_id,
+  coalesce(array_to_string(list_filter([
+    CASE WHEN dx IS NOT NULL THEN 'DIAGNOSES:' || {nl} || dx END,
+    CASE WHEN lb IS NOT NULL THEN 'LABS:' || {nl} || lb END,
+    CASE WHEN vt IS NOT NULL THEN 'VITALS:' || {nl} || vt END
+  ], x -> x IS NOT NULL), {nl} || {nl}), '') AS narrative
+FROM sec
+"""
+
+
+# --- simhash (JS int32 rolling hash, 64-bit vote vector) --------------------
+
+def sql_simhash() -> str:
+    """Bit-exact mirror of core.hashing.simhash_int: per word of the
+    normalized text (len > 2), JS hash = int32(h*31 + charCode); 64 votes
+    where bit i uses (h >> (i % 32)) & 1 — so votes[i] == votes[i+32] and the
+    64-bit value is the 32-bit pattern repeated: v = u*2^32 + u (signed)."""
+    # int32 wrap after each step; |h*31 + c| < 2^36 so int64 is safe
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
+        "(h, c) -> ((h*31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)"
+    )
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (u // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << (31 - i)} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+words AS (
+  SELECT doc_id, unnest(list_filter(string_split(nt, ' '), w -> length(w) > 2)) AS w
+  FROM norm
+), hashes AS (
+  SELECT doc_id, {fold} AS h FROM words
+), ub AS (
+  SELECT doc_id, CASE WHEN h < 0 THEN h + 4294967296 ELSE h END AS u FROM hashes
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM ub GROUP BY doc_id
+), packed AS (
+  SELECT doc_id, ({packed}) AS u32 FROM votes
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN p.u32 IS NULL THEN 0
+            WHEN p.u32 >= 2147483648 THEN (p.u32 - 4294967296) * 4294967296 + p.u32
+            ELSE p.u32 * 4294967296 + p.u32 END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)
+"""
+
+
+# --- hyperplane-LSH ANN top-k ------------------------------------------------
+
+def sql_lsh_ann_topk(dim: int = 64, n_planes: int = 8, k: int = 10, seed: int = 42) -> str:
+    """operators.similarity.lsh_bucketed_topk with the SAME seeded hyperplanes
+    (embedded as double literals) and the same sequential dot-product fold."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bits = " || ".join(
+        f"CASE WHEN {DOT.format(a='embedding', b=_plane_literal(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    cos = (
+        f"CASE WHEN {NRM.format(a='q.qe')} * {NRM.format(a='c.ce')} > 0 "
+        f"THEN {DOT.format(a='q.qe', b='c.ce')} / ({NRM.format(a='q.qe')} * {NRM.format(a='c.ce')}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, sig FROM sigs WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, sig FROM sigs
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS cosine
+  FROM c JOIN q USING (sig)
+  WHERE c.neighbor_id != q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- minhash LSH candidate pairs ---------------------------------------------
+
+def sql_minhash_lsh_pairs(k: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """operators.dedup.minhash_dedup_pairs semantics, brute-forced (oracle
+    scale): full k-signature per doc via the md5-shingle path, pairs that
+    collide in >= 1 of `bands` bands, est_jaccard = matching positions / k."""
+    from .operators.dedup import _P32, _minhash_params
+
+    params = _minhash_params(k, seed)
+    sig_items = ", ".join(
+        f"coalesce(list_min(list_transform(sh, x -> (x % {_P32} * {a} + {b}) % {_P32})), {_P32})"
+        for a, b in params
+    )
+    rows = k // bands
+    band_match = " OR ".join(
+        f"a.sig[{b * rows + 1}:{(b + 1) * rows}] = b.sig[{b * rows + 1}:{(b + 1) * rows}]"
+        for b in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0) AS ws
+  FROM documents
+), shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct(list_transform(range(1, len(ws) - 1),
+        i -> array_to_string(ws[i:i+2], ' ')))
+    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh_str
+  FROM words
+), hashed AS (
+  SELECT doc_id,
+    list_transform(sh_str, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+  FROM shingles
+), sigs AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_filter(range(1, {k + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {float(k)}, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {band_match}
+"""
+
+
+# --- trigram perplexity -------------------------------------------------------
+
+def sql_perplexity() -> str:
+    """core.perplexity.log_perplexity mirrored: the seed corpus is embedded
+    verbatim; bigram counts come from trigram-prefix positions (seq[:-2]) to
+    match _build_model; add-one smoothing over V=29; docs shorter than 3
+    chars score 10.0. Docs are ASCII (verified), so the Python byte-level
+    mapping equals this char-level mapping."""
+    from .core.perplexity import _SEED, _VOCAB
+
+    v = len(_VOCAB)
+    seed_lit = _SEED.replace("'", "''")
+    # char -> vocab index: a-z = ascii-97, ' '=26, '.'=27, ','=28, else 26
+    cmap = (
+        "CASE WHEN ascii({c}) BETWEEN 97 AND 122 THEN ascii({c}) - 97 "
+        "WHEN {c} = '.' THEN 27 WHEN {c} = ',' THEN 28 ELSE 26 END"
+    )
+    return f"""
+WITH seed AS (SELECT '{seed_lit}' AS s),
+schars AS (
+  SELECT i, {cmap.format(c="substr(s, CAST(i AS INT), 1)")} AS c
+  FROM seed, unnest(range(1, length(s)+1)) AS t(i)
+), s3 AS (
+  SELECT c AS c1,
+    lead(c, 1) OVER (ORDER BY i) AS c2,
+    lead(c, 2) OVER (ORDER BY i) AS c3
+  FROM schars
+), tri AS (
+  SELECT c1 * {v * v} + c2 * {v} + c3 AS tid, count(*) AS tc
+  FROM s3 WHERE c3 IS NOT NULL GROUP BY 1
+), bi AS (
+  SELECT c1 * {v} + c2 AS bid, count(*) AS bc
+  FROM s3 WHERE c3 IS NOT NULL GROUP BY 1
+), dchars AS (
+  SELECT doc_id, i, {cmap.format(c="substr(lower(text), CAST(i AS INT), 1)")} AS c
+  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+), d3 AS (
+  SELECT doc_id, c AS c1,
+    lead(c, 1) OVER (PARTITION BY doc_id ORDER BY i) AS c2,
+    lead(c, 2) OVER (PARTITION BY doc_id ORDER BY i) AS c3
+  FROM dchars
+), scored AS (
+  SELECT d.doc_id,
+    avg(-ln((coalesce(t.tc, 0) + CAST(1.0 AS DOUBLE)) / (coalesce(b.bc, 0) + CAST({float(v)} AS DOUBLE)))) AS lp
+  FROM d3 d
+  LEFT JOIN tri t ON t.tid = d.c1 * {v * v} + d.c2 * {v} + d.c3
+  LEFT JOIN bi b ON b.bid = d.c1 * {v} + d.c2
+  WHERE d.c3 IS NOT NULL
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+  round(CASE WHEN length(doc.text) < 3 THEN CAST(10.0 AS DOUBLE) ELSE s.lp END, 6) AS log_ppl
+FROM documents doc LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# --- semantic clusters (LSH cosine pairs -> connected components) -------------
+
+def sql_semantic_clusters(dim: int = 64, n_planes: int = 6, threshold: float = 0.3,
+                          seed: int = 42, limit: int = 20) -> str:
+    """operators.similarity.cosine_pairs(exact=False) + connected components
+    (min node id per component) via a recursive reachability CTE, then top-k
+    cluster sizes. Same hyperplanes, same dot fold, same tie-break order."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bits = " || ".join(
+        f"CASE WHEN {DOT.format(a='embedding', b=_plane_literal(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    cos = (
+        f"CASE WHEN {NRM.format(a='a.embedding')} * {NRM.format(a='b.embedding')} > 0 "
+        f"THEN {DOT.format(a='a.embedding', b='b.embedding')} / ({NRM.format(a='a.embedding')} * {NRM.format(a='b.embedding')}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH RECURSIVE sigs AS (
+  SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.r
+), labels AS (
+  SELECT node, min(r) AS cluster_id FROM walk GROUP BY node
+), sizes AS (
+  SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_id, CAST(size AS BIGINT) AS size
+FROM sizes ORDER BY size DESC, cluster_id ASC LIMIT {limit}
+"""
+
+
+# --- template lines over the word-per-line view --------------------------------
+
+SQL_TEMPLATE_LINES = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+lines AS (
+  SELECT DISTINCT doc_id, trim(w) AS line
+  FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+  WHERE length(trim(w)) >= 6
+), c AS (
+  SELECT line, count(*) AS doc_count FROM lines GROUP BY line
+)
+SELECT line, CAST(doc_count AS BIGINT) AS doc_count
+FROM c, n
+WHERE doc_count >= greatest(2, CAST(floor(n.total * 0.5) AS BIGINT))
+"""
