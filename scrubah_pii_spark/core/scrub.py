@@ -224,38 +224,15 @@ def _detect_labeled_names(text: str):
     return out
 
 
-def scrub_text(text: str, enable_context_detection: bool = True) -> ScrubOutcome:
-    """Run the full deterministic scrub cascade over one document."""
-    st = _State(text)
-
+def _stage_label_normalize(st: _State) -> None:
     # 1. label-phrase rewrites so the generic-name regex can't match labels
     st.text = _PATIENT_NAME_LABEL_RE.sub("Patient_Name", st.text)
     st.text = _ATTENDING_RE.sub("Attending_Physician", st.text)
     # 2. title de-duplication ("Dr. Dr" -> "Dr.")
     st.text = _DR_DUP_RE.sub("Dr.", st.text)
-    # 3-4. patient-labeled and inline patient names -> [PATIENT-n]
-    _scrub_patient_label_names(st)
-    _scrub_patient_inline(st, _PATIENT_LOWER_RE, "patient")
-    _scrub_patient_inline(st, _PATIENT_UPPER_RE, "PATIENT")
-    # 5-6. SSN variants sharing the ID counter
-    _scrub_ssn_last4(st)
-    _splice_backwards(st, _SSN_OCR_RE, "ID", "SSN")
 
-    # 7. structural patterns (order is part of the contract)
-    _splice_backwards(st, PII_PATTERNS["EMAIL"], "EMAIL", "EMAIL")
-    _splice_backwards(st, PII_PATTERNS["PHONE"], "PHONE", "PHONE")
-    _splice_backwards(st, PII_PATTERNS["SSN"], "ID", "SSN")
-    _splice_backwards(st, PII_PATTERNS["CREDIT_CARD"], "ID", "CARD")
-    _splice_backwards(st, PII_PATTERNS["ZIPCODE"], "ZIP", "ZIP")
-    _splice_backwards(st, PII_PATTERNS["DATE"], "DATE", "DATE")
-    _splice_backwards(st, _FULL_NAME_RE, "NAME", "NAME")
-    _splice_backwards(st, _TITLED_NAME_RE, "NAME", "NAME")
 
-    if enable_context_detection:
-        _splice_backwards(st, PII_PATTERNS["ADDRESS"], "ADDRESS", "ADDR")
-        _splice_backwards(st, PII_PATTERNS["CITY_STATE"], "CITY_STATE", "CITY")
-        _splice_backwards(st, PII_PATTERNS["PO_BOX"], "PO_BOX", "POBOX")
-
+def _stage_contextual_mrn(st: _State) -> None:
     # contextual MRN (shared ID counter), applied in reverse match order
     for start, end, value in reversed(_detect_contextual_mrn(st.text)):
         if value not in st.e2p:
@@ -265,18 +242,84 @@ def scrub_text(text: str, enable_context_detection: bool = True) -> ScrubOutcome
             st.replacements[value] = ph
         st.text = st.text[:start] + st.e2p[value] + st.text[end:]
 
-    if enable_context_detection:
-        for start, end, value in reversed(_detect_labeled_names(st.text)):
-            if not _LABELED_NAME_GUARD.search(value.strip()):
-                continue
-            if value not in st.e2p:
-                st.counters["NAME"] += 1
-                ph = f"[NAME_{st.counters['NAME']}]"
-                st.e2p[value] = ph
-                st.replacements[value] = ph
-            st.text = st.text[:start] + st.e2p[value] + st.text[end:]
 
+def _stage_labeled_names(st: _State) -> None:
+    for start, end, value in reversed(_detect_labeled_names(st.text)):
+        if not _LABELED_NAME_GUARD.search(value.strip()):
+            continue
+        if value not in st.e2p:
+            st.counters["NAME"] += 1
+            ph = f"[NAME_{st.counters['NAME']}]"
+            st.e2p[value] = ph
+            st.replacements[value] = ph
+        st.text = st.text[:start] + st.e2p[value] + st.text[end:]
+
+
+def _build_stages(st: _State, enable_context_detection: bool):
+    """The ordered cascade as named (pattern_type, thunk) stages. ONE source
+    of truth for both scrub_text and scrub_text_audited — the order IS the
+    byte-identical contract (piiScrubber.effect.ts:321-614)."""
+    stages = [
+        ("LABEL_NORMALIZE", lambda: _stage_label_normalize(st)),
+        # 3-4. patient-labeled and inline patient names -> [PATIENT-n]
+        ("PATIENT_LABEL", lambda: _scrub_patient_label_names(st)),
+        ("PATIENT_INLINE_LOWER", lambda: _scrub_patient_inline(st, _PATIENT_LOWER_RE, "patient")),
+        ("PATIENT_INLINE_UPPER", lambda: _scrub_patient_inline(st, _PATIENT_UPPER_RE, "PATIENT")),
+        # 5-6. SSN variants sharing the ID counter
+        ("SSN_LAST4", lambda: _scrub_ssn_last4(st)),
+        ("SSN_OCR", lambda: _splice_backwards(st, _SSN_OCR_RE, "ID", "SSN")),
+        # 7. structural patterns (order is part of the contract)
+        ("EMAIL", lambda: _splice_backwards(st, PII_PATTERNS["EMAIL"], "EMAIL", "EMAIL")),
+        ("PHONE", lambda: _splice_backwards(st, PII_PATTERNS["PHONE"], "PHONE", "PHONE")),
+        ("SSN", lambda: _splice_backwards(st, PII_PATTERNS["SSN"], "ID", "SSN")),
+        ("CREDIT_CARD", lambda: _splice_backwards(st, PII_PATTERNS["CREDIT_CARD"], "ID", "CARD")),
+        ("ZIPCODE", lambda: _splice_backwards(st, PII_PATTERNS["ZIPCODE"], "ZIP", "ZIP")),
+        ("DATE", lambda: _splice_backwards(st, PII_PATTERNS["DATE"], "DATE", "DATE")),
+        ("NAME_FULL", lambda: _splice_backwards(st, _FULL_NAME_RE, "NAME", "NAME")),
+        ("NAME_TITLED", lambda: _splice_backwards(st, _TITLED_NAME_RE, "NAME", "NAME")),
+    ]
+    if enable_context_detection:
+        stages += [
+            ("ADDRESS", lambda: _splice_backwards(st, PII_PATTERNS["ADDRESS"], "ADDRESS", "ADDR")),
+            ("CITY_STATE", lambda: _splice_backwards(st, PII_PATTERNS["CITY_STATE"], "CITY_STATE", "CITY")),
+            ("PO_BOX", lambda: _splice_backwards(st, PII_PATTERNS["PO_BOX"], "PO_BOX", "POBOX")),
+        ]
+    stages.append(("MRN_CONTEXT", lambda: _stage_contextual_mrn(st)))
+    if enable_context_detection:
+        stages.append(("LABELED_NAME", lambda: _stage_labeled_names(st)))
+    return stages
+
+
+def scrub_text(text: str, enable_context_detection: bool = True) -> ScrubOutcome:
+    """Run the full deterministic scrub cascade over one document."""
+    st = _State(text)
+    for _, run in _build_stages(st, enable_context_detection):
+        run()
     return ScrubOutcome(text=st.text, replacements=st.replacements, counters=st.counters)
+
+
+def scrub_text_audited(text: str, enable_context_detection: bool = True):
+    """scrub_text + per-pattern audit entries (AuditCollector.log semantics,
+    auditCollector.ts:38-52): (pattern_type, match_count, duration_ms) per
+    stage, where match_count is the number of NEW unique values the stage
+    replaced (invariant: sum == |replacements| == ScrubOutcome.count)."""
+    import time
+
+    st = _State(text)
+    audit = []
+    for name, run in _build_stages(st, enable_context_detection):
+        before = len(st.replacements)
+        t0 = time.perf_counter()
+        run()
+        audit.append((
+            name,
+            len(st.replacements) - before,
+            (time.perf_counter() - t0) * 1000.0,
+        ))
+    outcome = ScrubOutcome(
+        text=st.text, replacements=st.replacements, counters=st.counters
+    )
+    return outcome, audit
 
 
 # --- leak-check predicate (schemas/phi.ts:75-83) -------------------------------

@@ -641,6 +641,30 @@ def q_template_lines(spark, sf_dir):
     )
 
 
+def q_template_ngram_strip(spark, sf_dir):
+    """Full n-gram boilerplate-removal path (templateDetection.effect.ts:
+    143-312 corpus + overlap elimination, :317-430 strip): detect the chrome
+    framing every page of the derived multiline view and strip it, leaving
+    exactly the re-wrapped content. The oracle computes the expected stripped
+    output directly; reconstruction (the inverse) is property-tested in
+    tests/test_template_ngram.py."""
+    from .operators.template import ngram_template_corpus, strip_ngram_templates
+    from .oracles_sql import framed_text_expr
+
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        framed_text_expr().alias("text"),
+    )
+    corpus = ngram_template_corpus(df, "text", "url")
+    stripped = strip_ngram_templates(df, corpus, "text", "url")
+    return stripped.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "stripped_text",
+        F.col("chars_removed").cast("long").alias("chars_removed"),
+        F.size("template_refs").cast("long").alias("n_refs"),
+    )
+
+
 def q_quality_routing(spark, sf_dir):
     """Routing levels + flags (ocrQualityGate.effect.ts:219-247 thresholds)
     on top of the quality metrics."""
@@ -931,6 +955,90 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_scrub_audit(spark, sf_dir):
+    """Per-document audit report (auditCollector.ts:19-149): per-pattern
+    entries with durations inside the operator; the query projects the
+    deterministic summary block + the hit-pattern list, verified against the
+    oracle's expected arithmetic over the same PII probe (the raw corpus has
+    no PII — see oracles_sql.pii_probe_expr)."""
+    from .operators.audit_op import scrub_audit
+    from .oracles_sql import pii_probe_expr
+
+    docs = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
+    out = scrub_audit(docs, "probe")
+    hits = F.array_join(
+        F.transform(
+            F.filter("entries", lambda e: e["match_count"] > 0),
+            lambda e: e["pattern_type"],
+        ),
+        ",",
+    )
+    return out.select(
+        "doc_id",
+        F.col("total_detections").cast("int").alias("total_detections"),
+        F.col("pii_chars_removed").cast("int").alias("pii_chars_removed"),
+        "pii_density_percent",
+        F.col("size_change_bytes").cast("int").alias("size_change_bytes"),
+        "avg_pii_length",
+        hits.alias("patterns_hit"),
+    )
+
+
+def q_yaml_sink(spark, sf_dir):
+    """YAML compression sink (services/compression/yaml.ts): one
+    CompressedTimeline YAML document per user over the events table, exact
+    builder layout; metadata derived deterministically from the event count,
+    generatedAt fixed (the reference stamps new Date())."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from .core.yaml_sink import generate_yaml
+    from .oracles_sql import YAML_GENERATED_AT
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+        F.count("*").cast("int").alias("n"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+
+    @F.pandas_udf(StringType())
+    def yaml_udf(uids, evss, ns, mns, mxs):
+        outs = []
+        for uid, evs, n, mn, mx in zip(uids, evss, ns, mns, mxs):
+            events = [
+                (e["event_id"], str(e["ts"])[:10], e["event_type"],
+                 f"doc-{e['event_id']}", 1)
+                for e in evs
+            ]
+            duration = int((mx - mn).total_seconds() // 86400)
+            outs.append(generate_yaml(
+                patient_id=uid,
+                age_at_first_visit=int(20 + uid % 60),
+                date_start_iso=str(mn)[:10],
+                date_end_iso=str(mx)[:10],
+                duration_days=duration,
+                total_documents=int(n),
+                total_events=int(n),
+                events=events,
+                original_size_kb=n * 0.2,
+                compressed_size_kb=n * 0.1,
+                ratio=0.5,
+                events_total=int(n),
+                events_included=int(n),
+                deduplication="exact",
+                generated_at_iso=YAML_GENERATED_AT,
+            ))
+        return pd.Series(outs)
+
+    return agg.select(
+        "user_id", yaml_udf("user_id", "evs", "n", "mn", "mx").alias("yaml")
+    )
+
+
 def q_pipeline_flagship(spark, sf_dir):
     """Full webtext pipeline over documents mapped into the input-hint shape."""
     from .plans.pipeline import run_pipeline
@@ -967,6 +1075,7 @@ QUERIES = {
     "event_topk_users": q_event_topk_users,
     "header_mode": q_header_mode,
     "template_lines": q_template_lines,
+    "template_ngram_strip": q_template_ngram_strip,
     "quality_routing": q_quality_routing,
     "minhash_signature": q_minhash_signature,
     "pii_scrub": q_scrub,
@@ -979,6 +1088,8 @@ QUERIES = {
     "perplexity": q_perplexity,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "scrub_audit": q_scrub_audit,
+    "yaml_sink": q_yaml_sink,
     "pipeline_flagship": q_pipeline_flagship,
 }
 
@@ -1003,6 +1114,7 @@ def oracle_map() -> dict:
         "event_topk_users": SQL_EVENT_TOPK_USERS,
         "header_mode": SQL_HEADER_MODE,
         "template_lines": o2.SQL_TEMPLATE_LINES,
+        "template_ngram_strip": o2.sql_template_ngram_strip(),
         "quality_routing": SQL_QUALITY_ROUTING,
         "minhash_signature": _sql_minhash(),
         # round-2 oracles for the former rows-only queries
@@ -1014,4 +1126,6 @@ def oracle_map() -> dict:
         "minhash_lsh_pairs": o2.sql_minhash_lsh_pairs(k=32, bands=8),
         "perplexity": o2.sql_perplexity(),
         "semantic_clusters": o2.sql_semantic_clusters(dim=64, n_planes=6, threshold=0.3),
+        "scrub_audit": o2.sql_scrub_audit(),
+        "yaml_sink": o2.sql_yaml_sink(),
     }

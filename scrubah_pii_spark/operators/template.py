@@ -76,54 +76,265 @@ def strip_template_lines(
     )
 
 
-def ngram_template_corpus(
-    df: DataFrame, text_col: str, url_col: str = "url",
+def _doc_ngrams(
+    df: DataFrame, text_col: str, url_col: str,
     min_size: int = 2, max_size: int = 5,
-    threshold_frac: float = 0.3, min_docs: int = 3,
 ) -> DataFrame:
-    """FNV-1a n-gram template corpus: (hash, ngram_size, doc_count, sample).
-    Native window n-gram assembly; FNV-1a via vectorized UDF for golden
-    parity (xxhash64 would be faster but breaks hash-value parity)."""
-    n_docs = df.count()
-    if n_docs < min_docs:
-        return df.sparkSession.createDataFrame(
-            [], "hash string, ngram_size int, doc_count long, sample string"
-        )
-    threshold = max(min_docs, int(n_docs * threshold_frac))
-
+    """Per-document n-gram fingerprints: (_url, ngram_size, pos, content
+    [normalized, hash input], orig [original lines]). Mirrors
+    templateDetection.ts extractNGrams :306-335 — windows whose normalized
+    content has <10 non-ws chars are skipped."""
     lines = _lines(df, text_col, url_col).withColumn(
         "norm", F.lower(F.trim(F.regexp_replace("line", r"\s+", " ")))
     )
     w = Window.partitionBy("_url").orderBy("pos")
     grams = []
     for size in range(min_size, max_size + 1):
-        window_lines = F.collect_list("norm").over(w.rowsBetween(0, size - 1))
+        win = w.rowsBetween(0, size - 1)
         g = (
-            lines.withColumn("_win", window_lines)
+            lines.withColumn("_win", F.collect_list("norm").over(win))
+            .withColumn("_worig", F.collect_list("line").over(win))
             .filter(F.size("_win") == size)
             .withColumn("content", F.concat_ws("\n", "_win"))
+            .withColumn("orig", F.concat_ws("\n", "_worig"))
             .filter(F.length(F.regexp_replace("content", r"\s", "")) >= 10)
-            .select("_url", F.lit(size).alias("ngram_size"), "content", "pos")
+            .select("_url", F.lit(size).alias("ngram_size"), "content", "orig", "pos")
         )
         grams.append(g)
     all_grams = grams[0]
     for g in grams[1:]:
         all_grams = all_grams.unionByName(g)
-    hashed = all_grams.withColumn("hash", fnv1a64_udf("content"))
+    return all_grams.withColumn("hash", fnv1a64_udf("content"))
+
+
+def ngram_template_corpus(
+    df: DataFrame, text_col: str, url_col: str = "url",
+    min_size: int = 2, max_size: int = 5,
+    threshold_frac: float = 0.3, min_docs: int = 3,
+    eliminate_overlaps: bool = True,
+) -> DataFrame:
+    """FNV-1a n-gram template corpus: (template_id, hash, ngram_size,
+    doc_count, content [original lines], sample [normalized], position,
+    template_type). Native window n-gram assembly; FNV-1a via vectorized UDF
+    for golden parity (xxhash64 would be faster but breaks hash parity).
+
+    Overlap elimination (templateDetection.effect.ts:283-312): larger
+    templates first; a template whose normalized content is a substring of an
+    already-kept one is dropped. The loop is inherently sequential over the
+    corpus — a dimension-sized frame by construction (threshold is a fraction
+    of docs), so it runs on the collected corpus like the reference does.
+    Deviation (documented): the reference keeps the FIRST-seen doc's original
+    lines as template content; we keep the min-by-url doc's (deterministic
+    under any partitioning)."""
+    corpus, n_docs = _ngram_corpus_raw(
+        df, text_col, url_col, min_size, max_size, threshold_frac, min_docs
+    )
+    if corpus is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "template_id string, hash string, ngram_size int, doc_count long,"
+            " content string, sample string, avg_line_offset double,"
+            " position string, template_type string",
+        )
+    if eliminate_overlaps:
+        corpus = remove_overlapping_templates(corpus)
+    return corpus
+
+
+def _ngram_corpus_raw(
+    df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
+):
+    lines = _lines(df, text_col, url_col)
+    # ONE action for both corpus-sized scalars (doc count + avg doc lines)
+    stats = (
+        lines.groupBy("_url").agg((F.max("pos") + 1).alias("n"))
+        .agg(F.count("*").alias("docs"), F.avg("n").alias("avg_lines"))
+        .collect()[0]
+    )
+    n_docs, avg_doc_lines = int(stats["docs"]), float(stats["avg_lines"] or 0.0)
+    if n_docs < min_docs:
+        return None, n_docs
+    threshold = max(min_docs, int(n_docs * threshold_frac))
+
+    hashed = _doc_ngrams(df, text_col, url_col, min_size, max_size)
     corpus = (
         hashed.groupBy("hash", "ngram_size")
         .agg(
             F.count_distinct("_url").alias("doc_count"),
             F.min("content").alias("sample"),
+            F.min_by("orig", "_url").alias("content"),
             F.avg("pos").alias("avg_line_offset"),
         )
         .filter(F.col("doc_count") >= threshold)
+        .withColumn("template_id", F.concat(F.lit("tpl_"), F.substring("hash", 1, 8)))
     )
-    avg_doc_lines = (
-        lines.groupBy("_url").agg(F.max("pos").alias("n"))
-        .agg(F.avg(F.col("n") + 1)).collect()[0][0]
-    ) or 0.0
-    return classify_corpus(corpus, float(avg_doc_lines))
+    return classify_corpus(corpus, avg_doc_lines), n_docs
+
+
+def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
+    """Keep-larger overlap dedup over the (tiny) corpus: sort by line count
+    desc (frequency desc within), drop templates whose normalized content is
+    a substring of any kept one. Sequential by specification; the corpus is
+    dimension-sized, so this is a driver-side fold like the reference's."""
+    spark = corpus.sparkSession
+    rows = corpus.orderBy(
+        F.desc("ngram_size"), F.desc("doc_count"), F.asc("hash")
+    ).collect()
+    kept, used = [], []
+    for r in rows:
+        norm = r["sample"]
+        if any(norm in u for u in used):
+            continue
+        kept.append(r)
+        used.append(norm)
+    if not kept:
+        return spark.createDataFrame([], corpus.schema)
+    return spark.createDataFrame(kept, corpus.schema)
+
+
+def strip_ngram_templates(
+    df: DataFrame, corpus: DataFrame, text_col: str, url_col: str = "url",
+    out_col: str = "stripped_text",
+) -> DataFrame:
+    """Strip corpus templates from each doc (templateDetection.effect.ts:
+    317-430): re-fingerprint the doc's line n-grams, hash-join against the
+    (broadcast, dimension-sized) corpus, mark covered lines from ALL matches,
+    keep non-overlapping refs (sort by line_start; on overlap keep the larger
+    end — :397-430), emit unique lines + stripped text + lineage columns
+    (template_refs, unique_lines) sufficient for exact reconstruction.
+
+    Spark shape: one hash join (broadcast corpus), one explode for the
+    covered-line bitmap, one anti-join for unique lines — no pair joins, no
+    driver loops; the per-doc ref dedup is a sequential scan over each doc's
+    tiny match list inside an Arrow-batched UDF."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    fps = _doc_ngrams(df, text_col, url_col)
+    tpl = corpus.select(
+        "hash", F.col("ngram_size").alias("_tsz"), "template_id"
+    )
+    matches = fps.join(F.broadcast(tpl), "hash").select(
+        "_url",
+        F.col("pos").alias("line_start"),
+        (F.col("pos") + F.col("_tsz") - 1).alias("line_end"),
+        "template_id",
+    )
+
+    covered = matches.select(
+        "_url", F.explode(F.sequence("line_start", "line_end")).alias("pos")
+    ).distinct()
+
+    ref_type = ArrayType(StructType([
+        StructField("template_id", StringType()),
+        StructField("line_start", IntegerType()),
+        StructField("line_end", IntegerType()),
+    ]))
+
+    @F.pandas_udf(ref_type)
+    def dedup_refs_udf(ref_lists):  # no annotations: future-annotations trap
+        out = []
+        for refs in ref_lists:
+            # deterministic stand-in for the reference's input-order tie
+            # break: line_start asc, larger span first, template_id
+            rs = sorted(
+                refs,
+                key=lambda r: (r["line_start"], -r["line_end"], r["template_id"]),
+            )
+            kept = []
+            for r in rs:
+                if kept and r["line_start"] <= kept[-1]["line_end"]:
+                    if r["line_end"] > kept[-1]["line_end"]:
+                        kept[-1] = r
+                else:
+                    kept.append(r)
+            out.append([
+                {"template_id": r["template_id"],
+                 "line_start": int(r["line_start"]),
+                 "line_end": int(r["line_end"])} for r in kept
+            ])
+        return pd.Series(out)
+
+    refs = matches.groupBy("_url").agg(
+        dedup_refs_udf(
+            F.collect_list(F.struct("template_id", "line_start", "line_end"))
+        ).alias("template_refs"),
+        F.count("*").alias("_n_matches"),
+    )
+
+    lines = _lines(df, text_col, url_col)
+    n_lines = lines.groupBy("_url").agg((F.max("pos") + 1).alias("_n_lines"))
+    uniq = (
+        lines.join(covered, ["_url", "pos"], "left_anti")
+        .groupBy("_url")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("unique_lines"))
+        .withColumn(
+            out_col,
+            F.concat_ws("\n", F.transform("unique_lines", lambda s: s.getField("line"))),
+        )
+    )
+
+    out = (
+        df.join(uniq.withColumnRenamed("_url", url_col), url_col, "left")
+        .join(refs.withColumnRenamed("_url", url_col), url_col, "left")
+        .join(n_lines.withColumnRenamed("_url", url_col), url_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("unique_lines", F.coalesce(
+            F.col("unique_lines"),
+            F.expr("CAST(array() AS array<struct<pos:int,line:string>>)"),
+        ))
+        .withColumn("template_refs", F.coalesce(
+            F.col("template_refs"),
+            F.expr("CAST(array() AS array<struct<template_id:string,line_start:int,line_end:int>>)"),
+        ))
+        .withColumn("chars_removed", F.length(text_col) - F.length(out_col))
+        .withColumn(
+            "template_coverage",
+            (F.col("_n_lines") - F.size("unique_lines")).cast("double")
+            / F.greatest(F.col("_n_lines"), F.lit(1)).cast("double"),
+        )
+        .drop("_n_matches", "_n_lines")
+    )
+    return out
+
+
+def reconstruct_ngram_documents(
+    stripped: DataFrame, corpus: DataFrame, url_col: str = "url",
+    out_col: str = "reconstructed",
+) -> DataFrame:
+    """Inverse of strip_ngram_templates (templateDetection.effect.ts:450-488):
+    re-insert each referenced template's ORIGINAL lines at line_start and
+    merge with unique_lines by line number. Pure DataFrame ops: explode refs,
+    broadcast-join the corpus, union, sort_array-rebuild per doc."""
+    refs = stripped.select(
+        F.col(url_col).alias("_u"), F.explode("template_refs").alias("r")
+    )
+    tpl = corpus.select("template_id", F.col("content").alias("_tcontent"))
+    tlines = (
+        refs.join(F.broadcast(tpl), refs["r.template_id"] == tpl["template_id"])
+        .select("_u", F.col("r.line_start").alias("_ls"), F.split("_tcontent", "\n").alias("_tl"))
+        .select("_u", "_ls", F.posexplode("_tl").alias("_i", "line"))
+        .select("_u", (F.col("_ls") + F.col("_i")).alias("pos"), "line")
+    )
+    ulines = stripped.select(
+        F.col(url_col).alias("_u"), F.explode("unique_lines").alias("ul")
+    ).select("_u", F.col("ul.pos").alias("pos"), F.col("ul.line").alias("line"))
+    rebuilt = (
+        tlines.unionByName(ulines)
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("_ordered"))
+        .select(
+            F.col("_u").alias(url_col),
+            F.concat_ws(
+                "\n", F.transform("_ordered", lambda s: s.getField("line"))
+            ).alias(out_col),
+        )
+    )
+    return stripped.join(rebuilt, url_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
 
 
 def classify_corpus(corpus: DataFrame, avg_doc_lines: float) -> DataFrame:

@@ -535,6 +535,202 @@ FROM sizes ORDER BY size DESC, cluster_id ASC LIMIT {limit}
 """
 
 
+# --- n-gram template strip over the framed multiline view ----------------------
+# The driver corpus is single-line prose; real web pages carry boilerplate
+# chrome around content. Both engines derive the same multiline view: content
+# re-wrapped into 5-word lines, framed by this fixed 3-line header + 3-line
+# footer. The Spark side then DETECTS the chrome with the n-gram corpus
+# (threshold max(3, 30% of docs)), strips it, and must recover exactly the
+# content — which the oracle computes directly.
+
+CHROME_HEADER = (
+    "== clinical record header ==\n"
+    "facility: general hospital system\n"
+    "confidential do not distribute"
+)
+CHROME_FOOTER = (
+    "page 1 of 1\n"
+    "generated by records system\n"
+    "== end of record =="
+)
+
+
+def sql_template_ngram_strip() -> str:
+    h = CHROME_HEADER.replace("\n", "' || chr(10) || '")
+    f = CHROME_FOOTER.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+), l AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT)),
+        i -> array_to_string(ws[i*5+1 : i*5+5], ' ')),
+      chr(10)) AS stripped_text
+  FROM w
+)
+SELECT doc_id,
+  stripped_text,
+  CAST(length('{h}' || chr(10) || stripped_text || chr(10) || '{f}')
+       - length(stripped_text) AS BIGINT) AS chars_removed,
+  CAST(2 AS BIGINT) AS n_refs
+FROM l
+"""
+
+
+def framed_text_expr():
+    """The framed multiline view as a Spark Column (mirrors
+    sql_template_ngram_strip's derivation)."""
+    from pyspark.sql import functions as F
+
+    rewrapped = F.expr(
+        "array_join(transform(sequence(0, CAST(ceil(size(split(text, '\\\\s+')) / 5.0) AS INT) - 1),"
+        " i -> array_join(slice(split(text, '\\\\s+'), i*5+1, 5), ' ')), '\\n')"
+    )
+    return F.concat(
+        F.lit(CHROME_HEADER + "\n"), rewrapped, F.lit("\n" + CHROME_FOOTER)
+    )
+
+
+# --- scrub audit summary ---------------------------------------------------------
+# The raw corpus contains no PII (no digits at all), so the audit query
+# appends a deterministic PII probe per doc_id — one email + one phone
+# always, plus SSN / ZIP / DATE on doc_id mod 2/3/5 — constructed so cascade
+# stages do not interact (verified: each token is hit by exactly its own
+# pattern). The oracle derives the expected summary arithmetic
+# (auditCollector.ts:64-106) directly from the probe construction.
+
+def pii_probe_expr():
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"), s(d), F.lit("@example.com"),
+        F.lit(" Phone: 555-"), s(d % 900 + 100), F.lit("-"), s(d % 9000 + 1000),
+        F.when(d % 2 == 0, F.concat(
+            F.lit(" SSN: "), s(d % 900 + 100), F.lit("-"), s(d % 90 + 10),
+            F.lit("-"), s(d % 9000 + 1000),
+        )).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" zip "), s(d % 90000 + 10000),
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" on "), s(d % 12 + 1), F.lit("/"), s(d % 28 + 1), F.lit("/2024"),
+        )).otherwise(F.lit("")),
+    )
+
+
+def sql_scrub_audit() -> str:
+    """Expected audit summary for the probe: placeholder lengths are
+    [EMAIL_1]=9 [PHONE_1]=9 [SSN_1]=7 [ZIP_1]=7 [DATE_1]=8 (each pattern hits
+    exactly one value, so every counter is 1). JS Math.round(x*k)/k ==
+    floor(x*k + 0.5)/k."""
+    return """
+WITH p AS (
+  SELECT doc_id, text,
+    'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS email_v,
+    '555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS phone_v,
+    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) END AS ssn_v,
+    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 90000 + 10000 AS VARCHAR) END AS zip_v,
+    CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 12 + 1 AS VARCHAR) || '/' || CAST(doc_id % 28 + 1 AS VARCHAR) || '/2024' END AS date_v
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    length(text) + length(' Contact: ' || email_v || ' Phone: ' || phone_v)
+      + coalesce(length(' SSN: ' || ssn_v), 0)
+      + coalesce(length(' zip ' || zip_v), 0)
+      + coalesce(length(' on ' || date_v), 0) AS orig,
+    length(email_v) + length(phone_v)
+      + coalesce(length(ssn_v), 0) + coalesce(length(zip_v), 0)
+      + coalesce(length(date_v), 0) AS pii,
+    2 + CASE WHEN ssn_v IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN zip_v IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN date_v IS NOT NULL THEN 1 ELSE 0 END AS total,
+    9 + 9 + CASE WHEN ssn_v IS NOT NULL THEN 7 ELSE 0 END
+      + CASE WHEN zip_v IS NOT NULL THEN 7 ELSE 0 END
+      + CASE WHEN date_v IS NOT NULL THEN 8 ELSE 0 END AS ph_len,
+    'EMAIL,PHONE'
+      || CASE WHEN ssn_v IS NOT NULL THEN ',SSN' ELSE '' END
+      || CASE WHEN zip_v IS NOT NULL THEN ',ZIPCODE' ELSE '' END
+      || CASE WHEN date_v IS NOT NULL THEN ',DATE' ELSE '' END AS patterns_hit
+  FROM p
+)
+SELECT doc_id,
+  CAST(total AS INT) AS total_detections,
+  CAST(pii AS INT) AS pii_chars_removed,
+  floor(CAST(pii AS DOUBLE) / orig * 100 * 100 + 0.5) / 100 AS pii_density_percent,
+  CAST((orig - pii + ph_len) - orig AS INT) AS size_change_bytes,
+  floor(CAST(pii AS DOUBLE) / total * 10 + 0.5) / 10 AS avg_pii_length,
+  patterns_hit
+FROM m
+"""
+
+
+# --- YAML compression sink ---------------------------------------------------------
+
+YAML_GENERATED_AT = "2026-01-01T00:00:00.000Z"
+
+
+def sql_yaml_sink() -> str:
+    """core.yaml_sink.generate_yaml layout (yaml.ts:318-358 section order)
+    assembled per user from the events table: per-user timeline entries
+    ordered by (ts, event_id), deterministic metadata derived from the event
+    count, no medications/labTrends/warnings sections (omitted when empty)."""
+    nl = "chr(10)"
+    hdr = (
+        "'# ' || repeat('=', 70) || chr(10) || "
+        "'# COMPRESSED MEDICAL TIMELINE' || chr(10) || "
+        "'# Generated by Scrubah.PII - Zero-trust medical data sanitizer' || chr(10) || "
+        "'# All PII has been redacted and replaced with placeholders' || chr(10) || "
+        "'# ' || repeat('=', 70)"
+    )
+    return f"""
+WITH agg AS (
+  SELECT user_id, count(*) AS n, min(ts) AS mn, max(ts) AS mx,
+    string_agg(
+      '  - id: ' || CAST(event_id AS VARCHAR) || {nl} ||
+      '    date: ' || strftime(ts, '%Y-%m-%d') || {nl} ||
+      '    type: ' || event_type || {nl} ||
+      '    source: doc-' || CAST(event_id AS VARCHAR) || {nl} ||
+      '    confidence: 1',
+      {nl} ORDER BY ts, event_id) AS timeline_block
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  {hdr} || {nl} || {nl}
+  || 'metadata:' || {nl}
+  || '  generatedAt: {YAML_GENERATED_AT}' || {nl}
+  || '  version: "1.0.0"' || {nl}
+  || '  schemaVersion: "1.0.0"' || {nl} || {nl}
+  || '  compression:' || {nl}
+  || '    originalSizeKb: ' || printf('%.2f', n * CAST(0.2 AS DOUBLE)) || {nl}
+  || '    compressedSizeKb: ' || printf('%.2f', n * CAST(0.1 AS DOUBLE)) || {nl}
+  || '    ratio: 50.0%' || {nl}
+  || '    eventsTotal: ' || CAST(n AS VARCHAR) || {nl}
+  || '    eventsIncluded: ' || CAST(n AS VARCHAR) || {nl}
+  || '    eventsRemoved: 0' || {nl}
+  || '    deduplication: exact' || {nl} || {nl}
+  || 'patient:' || {nl}
+  || '  id: ' || CAST(user_id AS VARCHAR) || {nl}
+  || '  ageAtFirstVisit: ' || CAST(20 + user_id % 60 AS VARCHAR) || {nl} || {nl}
+  || 'dateRange:' || {nl}
+  || '  start: ' || strftime(mn, '%Y-%m-%d') || {nl}
+  || '  end: ' || strftime(mx, '%Y-%m-%d') || {nl}
+  || '  durationDays: ' || CAST(CAST(floor(date_diff('second', mn, mx) / CAST(86400 AS DOUBLE)) AS BIGINT) AS VARCHAR) || {nl} || {nl}
+  || 'totalDocuments: ' || CAST(n AS VARCHAR) || {nl}
+  || 'totalEvents: ' || CAST(n AS VARCHAR) || {nl} || {nl}
+  || 'timeline:' || {nl}
+  || timeline_block
+  AS yaml
+FROM agg
+"""
+
+
 # --- template lines over the word-per-line view --------------------------------
 
 SQL_TEMPLATE_LINES = """
