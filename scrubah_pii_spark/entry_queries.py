@@ -648,15 +648,22 @@ def q_template_ngram_strip(spark, sf_dir):
     exactly the re-wrapped content. The oracle computes the expected stripped
     output directly; reconstruction (the inverse) is property-tested in
     tests/test_template_ngram.py."""
-    from .operators.template import ngram_template_corpus, strip_ngram_templates
+    from .operators.template import (
+        _doc_ngrams,
+        ngram_template_corpus,
+        strip_ngram_templates,
+    )
     from .oracles_sql import framed_text_expr
 
     df = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"),
         framed_text_expr().alias("text"),
     )
-    corpus = ngram_template_corpus(df, "text", "url")
-    stripped = strip_ngram_templates(df, corpus, "text", "url")
+    # fingerprint ONCE; corpus build and strip both consume the persisted
+    # frame instead of re-running the window n-gram + hash stage twice
+    fps = _doc_ngrams(df, "text", "url").persist()
+    corpus = ngram_template_corpus(df, "text", "url", fingerprints=fps)
+    stripped = strip_ngram_templates(df, corpus, "text", "url", fingerprints=fps)
     return stripped.select(
         F.col("url").cast("long").alias("doc_id"),
         "stripped_text",
@@ -891,15 +898,13 @@ def q_narrative(spark, sf_dir):
 def q_semantic_clusters(spark, sf_dir):
     """Connected-components clustering over high-cosine embedding pairs +
     cluster stats (semanticDedup semantics at scale)."""
-    from .operators.clustering import connected_components
-    from .operators.similarity import cosine_pairs
+    from .operators.clustering import lsh_semantic_clusters
 
     emb = _embeddings(spark, sf_dir)
-    # LSH-bucketed pairs (the scale path): exact=True is a full self-crossJoin
-    # — 40B pairs at 100x sf0.1 — and lives on only as a small-n pytest
-    # oracle. dim passed explicitly: no driver-side .first() probe job.
-    pairs = cosine_pairs(emb, threshold=0.3, exact=False, dim=64)
-    clusters = connected_components(pairs)
+    # Bucket-local union-find (one shuffle, no CC iteration): components
+    # cannot span LSH buckets because each vector has exactly one signature.
+    # exact all-pairs cosine lives on only as a small-n pytest oracle.
+    clusters = lsh_semantic_clusters(emb, threshold=0.3, n_planes=6, dim=64)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.orderBy(F.desc("size"), F.asc("cluster_id")).limit(20).select(
         "cluster_id", F.col("size").cast("long").alias("size")

@@ -111,7 +111,7 @@ def ngram_template_corpus(
     df: DataFrame, text_col: str, url_col: str = "url",
     min_size: int = 2, max_size: int = 5,
     threshold_frac: float = 0.3, min_docs: int = 3,
-    eliminate_overlaps: bool = True,
+    eliminate_overlaps: bool = True, fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """FNV-1a n-gram template corpus: (template_id, hash, ngram_size,
     doc_count, content [original lines], sample [normalized], position,
@@ -127,7 +127,8 @@ def ngram_template_corpus(
     lines as template content; we keep the min-by-url doc's (deterministic
     under any partitioning)."""
     corpus, n_docs = _ngram_corpus_raw(
-        df, text_col, url_col, min_size, max_size, threshold_frac, min_docs
+        df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
+        fingerprints,
     )
     if corpus is None:
         return df.sparkSession.createDataFrame(
@@ -143,6 +144,7 @@ def ngram_template_corpus(
 
 def _ngram_corpus_raw(
     df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
+    fingerprints=None,
 ):
     lines = _lines(df, text_col, url_col)
     # ONE action for both corpus-sized scalars (doc count + avg doc lines)
@@ -156,7 +158,11 @@ def _ngram_corpus_raw(
         return None, n_docs
     threshold = max(min_docs, int(n_docs * threshold_frac))
 
-    hashed = _doc_ngrams(df, text_col, url_col, min_size, max_size)
+    hashed = (
+        fingerprints
+        if fingerprints is not None
+        else _doc_ngrams(df, text_col, url_col, min_size, max_size)
+    )
     corpus = (
         hashed.groupBy("hash", "ngram_size")
         .agg(
@@ -194,7 +200,7 @@ def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
 
 def strip_ngram_templates(
     df: DataFrame, corpus: DataFrame, text_col: str, url_col: str = "url",
-    out_col: str = "stripped_text",
+    out_col: str = "stripped_text", fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Strip corpus templates from each doc (templateDetection.effect.ts:
     317-430): re-fingerprint the doc's line n-grams, hash-join against the
@@ -212,7 +218,11 @@ def strip_ngram_templates(
         ArrayType, IntegerType, StringType, StructField, StructType,
     )
 
-    fps = _doc_ngrams(df, text_col, url_col)
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else _doc_ngrams(df, text_col, url_col)
+    )
     tpl = corpus.select(
         "hash", F.col("ngram_size").alias("_tsz"), "template_id"
     )

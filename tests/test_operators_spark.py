@@ -166,6 +166,40 @@ class TestClustering:
         assert out[1]["is_representative"] and not out[2]["is_representative"]
         assert out[3]["is_representative"]  # singleton is its own rep
 
+    def test_lsh_clusters_match_generic_cc(self, spark):
+        """The bucket-local union-find (one shuffle, no iteration) must give
+        exactly the same (node, cluster_id) labels as the generic star-
+        contraction CC over cosine_pairs(exact=False) — same planes, same
+        fold, same min-node-id labels."""
+        import numpy as np
+
+        from scrubah_pii_spark.operators.clustering import (
+            connected_components,
+            lsh_semantic_clusters,
+        )
+        from scrubah_pii_spark.operators.similarity import cosine_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((5, 16))
+        vecs = []
+        for i in range(60):  # 12 noisy copies of each of 5 base directions
+            v = base[i % 5] + rng.standard_normal(16) * 0.05
+            vecs.append((i, [float(x) for x in v]))
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+        fast = {
+            (r["node"], r["cluster_id"])
+            for r in lsh_semantic_clusters(
+                emb, threshold=0.5, n_planes=4, dim=16
+            ).collect()
+        }
+        pairs = cosine_pairs(emb, threshold=0.5, exact=False, n_planes=4, dim=16)
+        slow = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
 
 class TestExtractionOp:
     def test_array_struct_columns(self, spark):
