@@ -5,10 +5,12 @@ quality -> scrub -> relevance -> dedup -> leak-check) over sf0.001 documents
 mapped into the input-hint shape.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
-plus the training-data ops (dedup family, ANN, text analysis). SQL-expressible
-ops carry an exact DuckDB oracle (value arithmetic mirrored down to IEEE
-addition order); UDF-backed ops (scrub cascade, simhash, perplexity, LSH) are
-rows-only and covered by the pytest golden/parity suites instead.
+plus the training-data ops (dedup family, ANN, text analysis). 29 of 32
+queries carry an exact DuckDB oracle (value arithmetic mirrored down to IEEE
+addition order and JS int32/rounding semantics — scrubah_pii_spark/
+oracles_sql.py); only the sequential scrub cascade and the pipeline
+composition embedding it are rows-only, gated by the JS-parity harness +
+committed goldens + fuzz suites instead.
 """
 
 from __future__ import annotations

@@ -77,6 +77,12 @@ class PipelineConfig:
     shuffle_partitions: int = 32
     salt_buckets: int = 16          # salted repartition for skewed hosts
     url_buckets: int = 64           # output bucketing on url hash
+    # pre-UDF round-robin repartition: evens partition sizes when the input
+    # is skewed (Common-Crawl host skew). On an already-evenly-split input it
+    # is a pure cost — a full-corpus shuffle that is intra-process at 1
+    # executor but cross-JVM TCP at N executors (biases any single-host N vs
+    # 4N comparison). Disable when input splits are known-uniform.
+    pre_repartition: bool = True
 
 
 DEFAULT_PIPELINE_CONFIG = PipelineConfig()

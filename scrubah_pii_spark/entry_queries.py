@@ -960,6 +960,26 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_doc_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup over the documents table (semanticDedup
+    tiers): hash-encoder embeddings (chunk/pool/normalize — the gated real
+    model swaps in transparently), hyperplane-LSH bucketed pairs, tier
+    labels. Threshold 0.75 picks the related+ band that yields a non-trivial
+    but non-quadratic result on the driver corpus."""
+    from .operators.embed_op import add_embeddings
+    from .operators.similarity import lsh_cosine_pairs_fast
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = add_embeddings(docs, "text", dim=64)
+    # bucket-local numpy pairs with exact-fold boundary refinement — ~50x
+    # the per-pair expression-fold path; cosine comes back pre-rounded
+    pairs = lsh_cosine_pairs_fast(
+        emb, threshold=0.75, id_col="doc_id", vec_col="embedding",
+        n_planes=6, dim=64,
+    )
+    return pairs.select("id_a", "id_b", "cosine", "tier")
+
+
 def q_scrub_audit(spark, sf_dir):
     """Per-document audit report (auditCollector.ts:19-149): per-pattern
     entries with durations inside the operator; the query projects the
@@ -1093,6 +1113,7 @@ QUERIES = {
     "perplexity": q_perplexity,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "doc_embed_neardup": q_doc_embed_neardup,
     "scrub_audit": q_scrub_audit,
     "yaml_sink": q_yaml_sink,
     "pipeline_flagship": q_pipeline_flagship,
@@ -1133,4 +1154,5 @@ def oracle_map() -> dict:
         "semantic_clusters": o2.sql_semantic_clusters(dim=64, n_planes=6, threshold=0.3),
         "scrub_audit": o2.sql_scrub_audit(),
         "yaml_sink": o2.sql_yaml_sink(),
+        "doc_embed_neardup": o2.sql_doc_embed_neardup(),
     }

@@ -36,9 +36,16 @@ from ..functions.hashing_expr import (
 def mark_exact_duplicates(
     df: DataFrame, text_col: str = "scrubbed_text",
     url_col: str = "url", ts_col: str = "warc_ts",
+    hash_col: str | None = None,
 ) -> DataFrame:
-    """Adds content_hash, is_exact_dup, exact_dup_of (earliest url wins)."""
-    out = df.withColumn("content_hash", content_hash_expr(F.col(text_col)))
+    """Adds content_hash, is_exact_dup, exact_dup_of (earliest url wins).
+    Pass hash_col when content_hash is already computed — lets callers run
+    the window over a slim projection so the shuffle never moves text."""
+    if hash_col is not None:
+        out = df.withColumnRenamed(hash_col, "content_hash") \
+            if hash_col != "content_hash" else df
+    else:
+        out = df.withColumn("content_hash", content_hash_expr(F.col(text_col)))
     w = Window.partitionBy("content_hash").orderBy(ts_col, url_col)
     return (
         out.withColumn("_rn", F.row_number().over(w))

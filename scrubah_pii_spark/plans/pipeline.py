@@ -88,9 +88,11 @@ def run_pipeline(
     # the last tasks drained). Host-salted partitioning
     # (repartition(N, host, salt)) remains the right tool when a downstream
     # op is keyed BY host — none is here; dedup keys are content-based.
-    df = df.withColumn("host", _host(F.col("url"))).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    df = df.withColumn("host", _host(F.col("url")))
+    if cfg.pre_repartition:
+        df = df.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
 
     # -- fused per-doc Python stage: ONE Arrow round-trip computes quality,
     # langid, perplexity, repetition, (gated) scrub + simhash-of-scrubbed AND
@@ -142,10 +144,33 @@ def run_pipeline(
     df = df.drop("extracted_text", "text")
     labeled = df.persist()
     candidates = labeled.filter(F.col("recommendation") != "discard")
-    candidates = mark_exact_duplicates(candidates)
-    uniq = candidates.filter(~F.col("is_exact_dup"))
+
+    # -- dedup on a SLIM projection. The exact-dup window (shuffle on
+    # content_hash) and the band-key shuffle previously moved every row WITH
+    # its scrubbed text (~1 KB/row — the dominant dedup-stage cost at scale);
+    # verdicts need only (url, ts, doc_type, simhash, content_hash) ~60 B/row.
+    # One verdict join at the end re-attaches them (verdict frame is a
+    # fraction of the corpus; AQE broadcasts it when small, and at cluster
+    # scale it is a co-partitioned join on url).
+    from ..functions.hashing_expr import content_hash_expr
+
+    slim = candidates.select(
+        "url", "warc_ts", "doc_type", "simhash",
+        content_hash_expr(F.col("scrubbed_text")).alias("content_hash"),
+    )
+    marked = mark_exact_duplicates(slim, hash_col="content_hash")
+    uniq = marked.filter(~F.col("is_exact_dup"))
     near = analyze_near_duplicates_bucketed(uniq)
-    survivors = near.filter(~F.col("is_near_dup"))
+    verdicts = marked.select("url", "content_hash", "is_exact_dup").join(
+        near.select(
+            "url", "near_dup_of", "similarity", "difference_type", "is_near_dup"
+        ),
+        "url",
+        "left",
+    )
+    survivors = candidates.join(verdicts, "url").filter(
+        ~F.col("is_exact_dup") & ~F.coalesce(F.col("is_near_dup"), F.lit(False))
+    )
 
     # -- leak check: hard gate before the sink (phi.ts assertion semantics)
     survivors = survivors.withColumn(

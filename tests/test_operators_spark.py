@@ -200,6 +200,41 @@ class TestClustering:
         }
         assert fast == slow and len(fast) > 0
 
+    def test_fast_cosine_pairs_match_expression_path(self, spark):
+        """lsh_cosine_pairs_fast (numpy + exact-fold boundary refinement)
+        must emit the same pairs/tiers and the same 6-decimal cosines as the
+        expression-fold cosine_pairs(exact=False)."""
+        import numpy as np
+
+        from scrubah_pii_spark.operators.similarity import (
+            cosine_pairs,
+            lsh_cosine_pairs_fast,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((4, 16))
+        vecs = [
+            (i, [float(x) for x in (base[i % 4] + rng.standard_normal(16) * 0.1)])
+            for i in range(40)
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+        fast = {
+            (r["id_a"], r["id_b"], r["cosine"], r["tier"])
+            for r in lsh_cosine_pairs_fast(
+                emb, threshold=0.5, n_planes=4, dim=16
+            ).collect()
+        }
+        slow_df = cosine_pairs(emb, threshold=0.5, exact=False, n_planes=4, dim=16)
+        slow = {
+            (r["id_a"], r["id_b"], r["cosine"], r["tier"])
+            for r in slow_df.select(
+                "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "tier"
+            ).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
 
 class TestExtractionOp:
     def test_array_struct_columns(self, spark):

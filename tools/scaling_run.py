@@ -25,6 +25,11 @@ def main():
     executors = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
     cores_each = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # mode "local": single-JVM local[total_cores] — the task-brief-sanctioned
+    # "local[8] vs local[32]" parallelism-level protocol. The heavy stage is
+    # Arrow-batched PYTHON (separate worker processes either way); the JVM
+    # side is scan/shuffle/serialize only.
+    mode = sys.argv[4] if len(sys.argv) > 4 else "cluster"
 
     from pyspark.sql import SparkSession
 
@@ -38,9 +43,18 @@ def main():
 
     zip_path = build_zip()
     total_cores = executors * cores_each
+    master = (
+        f"local[{total_cores}]" if mode == "local"
+        else f"local-cluster[{executors},{cores_each},6144]"
+    )
+    builder = SparkSession.builder.appName(f"scaling-{executors}x{cores_each}")
+    if mode == "local":
+        # single-JVM: the driver IS the executor — give it the executor heap
+        # (scaled with cores; default 1g OOMs 32 concurrent tasks + persist)
+        builder = builder.config("spark.driver.memory", f"{4 + total_cores // 2}g")
     spark = (
-        SparkSession.builder.appName(f"scaling-{executors}x{cores_each}")
-        .master(f"local-cluster[{executors},{cores_each},6144]")
+        builder
+        .master(master)
         .config("spark.executor.memory", "5g")
         # each executor JVM must size its GC/JIT pools for ITS core share,
         # not the whole host — otherwise N executors spawn N*32 GC threads
@@ -57,7 +71,10 @@ def main():
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 256 MB: the dedup-verdict join's build side sits near 64 MB at this
+        # corpus size — a flaky AQE broadcast decision was adding ±20 s of
+        # sort-merge variance to otherwise identical runs
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         # split the input finely enough that the scan stage parallelizes at
         # both cluster sizes (the corpus is one parquet file; row groups are
         # the split unit)
@@ -68,13 +85,26 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import dataclasses
+
+    from scrubah_pii_spark.config import DEFAULT_PIPELINE_CONFIG
     from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+    # synthetic corpus is uniformly split (8 MB row groups): the round-robin
+    # repartition would only add a full-corpus shuffle that is free at 1
+    # executor (intra-process) but cross-JVM TCP at 4 — skewing the N-vs-4N
+    # comparison with a cost real clusters pay in NIC, not CPU
+    # measured (BENCH/scaling_matrix.jsonl): skipping the pre-UDF repartition
+    # SLOWS the 4-executor label stage 2-3x (scan-fused UDF tasks lose the
+    # even-sized-partition property); keep it on by default
+    pre_rep = os.environ.get("SCRUBAH_PRE_REPARTITION", "1") == "1"
+    cfg = dataclasses.replace(DEFAULT_PIPELINE_CONFIG, pre_repartition=pre_rep)
 
     df = spark.read.parquet(corpus)
     df.limit(64).count()  # warm-up: executor JVMs + Arrow init
 
     t0 = time.time()
-    res = run_pipeline(df)
+    res = run_pipeline(df, cfg=cfg)
     t_plan = time.time() - t0
     labeled_rows = res.labeled.count()
     t_label = time.time() - t0
@@ -86,6 +116,8 @@ def main():
     spark.stop()
 
     print(json.dumps({
+        "mode": mode,
+        "pre_repartition": pre_rep,
         "executors": executors,
         "cores_per_executor": cores_each,
         "total_cores": total_cores,
