@@ -960,6 +960,48 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_lab_trend_summary(spark, sf_dir):
+    """Lab trend classification (structuredExtraction.effect.ts:562-631)
+    over the clinical probe, doc_id standing in for timestamp order."""
+    from .operators.extraction_op import add_extraction, lab_trends
+    from .oracles_sql import probe_expr
+
+    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    df = add_extraction(docs, "probe")
+    out = lab_trends(df, "doc_id", "doc_id")
+    return out.select(
+        "test",
+        F.col("n").cast("long").alias("n"),
+        F.round("first_v", 6).alias("first_v"),
+        F.round("last_v", 6).alias("last_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        "trend",
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (operators/multimodal): the text
+    payload plays the opaque media blob; the mapInPandas stage computes
+    content hash + byte length + the deterministic stand-in features, and the
+    oracle mirrors the arithmetic — proving the Arrow plumbing end to end."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_media_features(docs, "payload")
+    f = F.col("media.features")
+    return out.select(
+        "doc_id",
+        F.col("media.sha256").alias("sha256"),
+        F.col("media.byte_len").cast("long").alias("byte_len"),
+        F.round(f[0].cast("double"), 6).alias("f0"),
+        F.round(f[1].cast("double"), 6).alias("f1"),
+        F.round(f[2].cast("double"), 6).alias("f2"),
+    )
+
+
 def q_doc_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over the documents table (semanticDedup
     tiers): hash-encoder embeddings (chunk/pool/normalize — the gated real
@@ -1113,6 +1155,8 @@ QUERIES = {
     "perplexity": q_perplexity,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "lab_trend_summary": q_lab_trend_summary,
+    "multimodal_features": q_multimodal_features,
     "doc_embed_neardup": q_doc_embed_neardup,
     "scrub_audit": q_scrub_audit,
     "yaml_sink": q_yaml_sink,
@@ -1155,4 +1199,6 @@ def oracle_map() -> dict:
         "scrub_audit": o2.sql_scrub_audit(),
         "yaml_sink": o2.sql_yaml_sink(),
         "doc_embed_neardup": o2.sql_doc_embed_neardup(),
+        "lab_trend_summary": o2.sql_lab_trend_summary(),
+        "multimodal_features": o2.SQL_MULTIMODAL,
     }

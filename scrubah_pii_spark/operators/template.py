@@ -87,23 +87,41 @@ def _doc_ngrams(
     lines = _lines(df, text_col, url_col).withColumn(
         "norm", F.lower(F.trim(F.regexp_replace("line", r"\s+", " ")))
     )
+    # ONE window pass: all lead() offsets share a single sort, then every
+    # n-gram size is assembled from the same row and exploded once — the
+    # per-size collect_list variant ran `max_size-1` separate window stages
+    # over the same lines (≈2x wall on the sf0.1 strip query)
     w = Window.partitionBy("_url").orderBy("pos")
-    grams = []
+    sel = lines.select(
+        "_url", "pos", "line", "norm",
+        *[F.lead("norm", k).over(w).alias(f"_n{k}") for k in range(1, max_size)],
+        *[F.lead("line", k).over(w).alias(f"_o{k}") for k in range(1, max_size)],
+    )
+    gram_structs = []
     for size in range(min_size, max_size + 1):
-        win = w.rowsBetween(0, size - 1)
-        g = (
-            lines.withColumn("_win", F.collect_list("norm").over(win))
-            .withColumn("_worig", F.collect_list("line").over(win))
-            .filter(F.size("_win") == size)
-            .withColumn("content", F.concat_ws("\n", "_win"))
-            .withColumn("orig", F.concat_ws("\n", "_worig"))
-            .filter(F.length(F.regexp_replace("content", r"\s", "")) >= 10)
-            .select("_url", F.lit(size).alias("ngram_size"), "content", "orig", "pos")
+        ncols = [F.col("norm")] + [F.col(f"_n{k}") for k in range(1, size)]
+        ocols = [F.col("line")] + [F.col(f"_o{k}") for k in range(1, size)]
+        # guard on the LAST lead: a null intermediate implies a null last
+        gram_structs.append(
+            F.when(
+                F.col(f"_n{size - 1}").isNotNull(),
+                F.struct(
+                    F.lit(size).alias("ngram_size"),
+                    F.concat_ws("\n", *ncols).alias("content"),
+                    F.concat_ws("\n", *ocols).alias("orig"),
+                ),
+            )
         )
-        grams.append(g)
-    all_grams = grams[0]
-    for g in grams[1:]:
-        all_grams = all_grams.unionByName(g)
+    all_grams = (
+        sel.select(
+            "_url", "pos",
+            F.explode(
+                F.filter(F.array(*gram_structs), lambda s: s.isNotNull())
+            ).alias("g"),
+        )
+        .select("_url", "g.ngram_size", "g.content", "g.orig", "pos")
+        .filter(F.length(F.regexp_replace("content", r"\s", "")) >= 10)
+    )
     return all_grams.withColumn("hash", fnv1a64_udf("content"))
 
 

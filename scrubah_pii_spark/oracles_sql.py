@@ -760,6 +760,60 @@ FROM m
 """
 
 
+# --- lab trend summary --------------------------------------------------------------
+
+def sql_lab_trend_summary() -> str:
+    """operators.extraction_op.lab_trends over the clinical probe, with
+    doc_id standing in for the timestamp order (the probe corpus is
+    time-free): per test first/last (by doc_id) + min/max + the reference's
+    trend classifier (structuredExtraction.effect.ts:562-631)."""
+    selects = []
+    for l in _lab_sql_parts():
+        selects.append(
+            f"SELECT doc_id, '{l['test']}' AS test, {l['value']} AS value "
+            f"FROM p WHERE {l['matched']}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH p AS (SELECT doc_id, {SQL_PROBE} AS probe FROM documents),
+labs AS (
+{union}
+), agg AS (
+  SELECT test,
+    count(*) AS n,
+    arg_min(value, doc_id) AS first_v,
+    arg_max(value, doc_id) AS last_v,
+    min(value) AS min_v,
+    max(value) AS max_v
+  FROM labs GROUP BY test
+)
+SELECT test, CAST(n AS BIGINT) AS n,
+  round(first_v, 6) AS first_v, round(last_v, 6) AS last_v,
+  round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+  CASE WHEN n < 2 THEN 'INSUFFICIENT_DATA'
+       WHEN (max_v - min_v) > 1.5 * abs(last_v - first_v) THEN 'FLUCTUATING'
+       WHEN (CASE WHEN first_v != 0 THEN abs(last_v - first_v) / abs(first_v) * 100 END) < 5.0 THEN 'STABLE'
+       WHEN (last_v - first_v) > 0 THEN 'INCREASING'
+       ELSE 'DECREASING' END AS trend
+FROM agg
+"""
+
+
+# --- multimodal feature plumbing -----------------------------------------------------
+
+SQL_MULTIMODAL = """
+WITH h AS (
+  SELECT doc_id, length(text) AS blen, sha256(text) AS hex
+  FROM documents
+)
+SELECT doc_id, hex AS sha256, CAST(blen AS BIGINT) AS byte_len,
+  round(CAST(CAST(CAST(concat('0x', substr(hex, 1, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+  round(CAST(CAST(CAST(concat('0x', substr(hex, 3, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f1,
+  round(CAST(CAST(CAST(concat('0x', substr(hex, 5, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f2
+FROM h
+"""
+
+
 # --- YAML compression sink ---------------------------------------------------------
 
 YAML_GENERATED_AT = "2026-01-01T00:00:00.000Z"
