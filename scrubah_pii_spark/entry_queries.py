@@ -785,7 +785,11 @@ FROM hashed
 
 
 def q_scrub_worker(spark, sf_dir):
-    """Worker-rule-set scrub (production engine; scrubber.worker.ts)."""
+    """Worker-rule-set scrub (production engine; scrubber.worker.ts) over the
+    PII probe (non-vacuous). Rows-only: the worker's forward-order counters
+    interact across passes (e.g. an intermediate match can advance a
+    namespace counter), so the expected text is not constructible without
+    re-implementing the engine — goldens + JS parity gate it instead."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType, StringType, StructField, StructType,
@@ -806,8 +810,10 @@ def q_scrub_worker(spark, sf_dir):
             "pii_count": [o.count for o in outs],
         })
 
-    df = _docs(spark, sf_dir)
-    return df.select("doc_id", worker_udf(F.col("text")).alias("w")).select(
+    from .oracles_sql import pii_probe_expr
+
+    df = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
+    return df.select("doc_id", worker_udf(F.col("probe")).alias("w")).select(
         "doc_id", F.col("w.scrubbed_text").alias("scrubbed_text"),
         F.col("w.pii_count").alias("pii_count"),
     )
@@ -911,13 +917,19 @@ def q_semantic_clusters(spark, sf_dir):
     )
 
 def q_scrub(spark, sf_dir):
+    """Effect-rule-set scrub over the deterministic PII probe (the raw corpus
+    has no PII, so scrubbing it is the identity — vacuous). The probe gives
+    each namespace at most one value per doc, so the expected scrubbed text
+    is constructible and the oracle checks the cascade end-to-end; the full
+    counter/ordering semantics stay golden/parity-gated."""
     from .operators.scrub_op import scrub_udf
+    from .oracles_sql import pii_probe_expr
 
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
     return df.select(
-        "doc_id", scrub_udf(F.col("text")).alias("s")
+        "doc_id", scrub_udf(F.col("probe")).alias("s")
     ).select("doc_id", F.col("s.scrubbed_text").alias("scrubbed_text"),
-             F.col("s.pii_count").alias("pii_count"))
+             F.col("s.pii_count").cast("int").alias("pii_count"))
 
 
 def q_simhash(spark, sf_dir):
@@ -1201,4 +1213,5 @@ def oracle_map() -> dict:
         "doc_embed_neardup": o2.sql_doc_embed_neardup(),
         "lab_trend_summary": o2.sql_lab_trend_summary(),
         "multimodal_features": o2.SQL_MULTIMODAL,
+        "pii_scrub": o2.SQL_PII_SCRUB,
     }

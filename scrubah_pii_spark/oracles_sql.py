@@ -814,6 +814,21 @@ FROM h
 """
 
 
+# --- Effect-set scrub over the PII probe ---------------------------------------------
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+  text || ' Contact: [EMAIL_1] Phone: [PHONE_1]'
+    || CASE WHEN doc_id % 2 = 0 THEN ' SSN: [SSN_1]' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' zip [ZIP_1]' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' on [DATE_1]' ELSE '' END AS scrubbed_text,
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS pii_count
+FROM documents
+"""
+
+
 # --- YAML compression sink ---------------------------------------------------------
 
 YAML_GENERATED_AT = "2026-01-01T00:00:00.000Z"
