@@ -83,6 +83,11 @@ class PipelineConfig:
     # executor but cross-JVM TCP at N executors (biases any single-host N vs
     # 4N comparison). Disable when input splits are known-uniform.
     pre_repartition: bool = True
+    # host-salted variant: repartition(n, host, salt) keeps each host's rows
+    # on <= salt_buckets partitions — use when a downstream op is keyed BY
+    # host (e.g. stateful host dedup) so the heavy UDF stage leaves data
+    # near-co-located; round-robin balances better when nothing is host-keyed
+    host_salted_repartition: bool = False
 
 
 DEFAULT_PIPELINE_CONFIG = PipelineConfig()

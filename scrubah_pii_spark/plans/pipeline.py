@@ -90,9 +90,19 @@ def run_pipeline(
     # op is keyed BY host — none is here; dedup keys are content-based.
     df = df.withColumn("host", _host(F.col("url")))
     if cfg.pre_repartition:
-        df = df.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if cfg.host_salted_repartition:
+            # skew-safe host co-location: hot hosts spread over salt_buckets
+            # partitions instead of one, cold hosts stay together
+            df = (
+                df.withColumn(
+                    "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
+                )
+                .repartition(n_parts, "host", "_salt")
+                .drop("_salt")
+            )
+        else:
+            df = df.repartition(n_parts)
 
     # -- fused per-doc Python stage: ONE Arrow round-trip computes quality,
     # langid, perplexity, repetition, (gated) scrub + simhash-of-scrubbed AND

@@ -122,3 +122,20 @@ class TestDedupAndLeaks:
         lin = lineage_table(result.labeled)
         types = {r["pattern_type"] for r in lin.select("pattern_type").distinct().collect()}
         assert types & {"EMAIL", "PHONE", "SSN", "NAME", "DATE"}
+
+    def test_host_salted_repartition_same_output(self, webpages, result):
+        """The skew-safe host-salted pre-repartition (repartition on
+        (host, salt)) is a pure physical-layout choice — output identical
+        to the round-robin default."""
+        import dataclasses
+
+        from scrubah_pii_spark.config import DEFAULT_PIPELINE_CONFIG
+
+        cfg = dataclasses.replace(
+            DEFAULT_PIPELINE_CONFIG, host_salted_repartition=True
+        )
+        salted = run_pipeline(webpages, cfg=cfg)
+        a = {r["url"] for r in salted.output.select("url").collect()}
+        b = {r["url"] for r in result.output.select("url").collect()}
+        assert a == b
+        salted.labeled.unpersist()
