@@ -672,6 +672,37 @@ def q_template_ngram_strip(spark, sf_dir):
     )
 
 
+def q_compression_summary(spark, sf_dir):
+    """Corpus compression stats after boilerplate stripping — the
+    reference's averageCompressionRatio headline (compressionPipeline
+    stage metrics; README claims 81% on repetitive content). Per-doc ratio
+    = stripped/original chars; the average is summed in decimal so it is
+    partition-order-independent (IEEE double sums are not)."""
+    from .operators.template import (
+        _doc_ngrams,
+        ngram_template_corpus,
+        strip_ngram_templates,
+    )
+    from .oracles_sql import framed_text_expr
+
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        framed_text_expr().alias("text"),
+    )
+    fps = _doc_ngrams(df, "text", "url").persist()
+    corpus = ngram_template_corpus(df, "text", "url", fingerprints=fps)
+    stripped = strip_ngram_templates(df, corpus, "text", "url", fingerprints=fps)
+    ratio = F.length("stripped_text").cast("double") / F.length("text").cast("double")
+    return stripped.agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.length("text")).cast("long").alias("original_chars"),
+        F.sum(F.length("stripped_text")).cast("long").alias("stripped_chars"),
+        F.round(
+            (F.sum(ratio.cast("decimal(28,12)")) / F.count("*")).cast("double"), 6
+        ).alias("avg_compression_ratio"),
+    )
+
+
 def q_quality_routing(spark, sf_dir):
     """Routing levels + flags (ocrQualityGate.effect.ts:219-247 thresholds)
     on top of the quality metrics."""
@@ -1155,6 +1186,7 @@ QUERIES = {
     "header_mode": q_header_mode,
     "template_lines": q_template_lines,
     "template_ngram_strip": q_template_ngram_strip,
+    "compression_summary": q_compression_summary,
     "quality_routing": q_quality_routing,
     "minhash_signature": q_minhash_signature,
     "pii_scrub": q_scrub,
@@ -1197,6 +1229,7 @@ def oracle_map() -> dict:
         "header_mode": SQL_HEADER_MODE,
         "template_lines": o2.SQL_TEMPLATE_LINES,
         "template_ngram_strip": o2.sql_template_ngram_strip(),
+        "compression_summary": o2.sql_compression_summary(),
         "quality_routing": SQL_QUALITY_ROUTING,
         "minhash_signature": _sql_minhash(),
         # round-2 oracles for the former rows-only queries

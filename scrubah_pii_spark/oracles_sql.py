@@ -578,6 +578,36 @@ FROM l
 """
 
 
+SQL_COMPRESSION_SUMMARY_TEMPLATE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+), l AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT)),
+        i -> array_to_string(ws[i*5+1 : i*5+5], ' ')),
+      chr(10)) AS stripped_text
+  FROM w
+), sized AS (
+  SELECT doc_id,
+    length('{h}' || chr(10) || stripped_text || chr(10) || '{f}') AS orig,
+    length(stripped_text) AS comp
+  FROM l
+)
+SELECT CAST(count(*) AS BIGINT) AS docs,
+  CAST(sum(orig) AS BIGINT) AS original_chars,
+  CAST(sum(comp) AS BIGINT) AS stripped_chars,
+  round(CAST(sum(CAST(CAST(comp AS DOUBLE) / CAST(orig AS DOUBLE) AS DECIMAL(28,12))) / count(*) AS DOUBLE), 6) AS avg_compression_ratio
+FROM sized
+"""
+
+
+def sql_compression_summary() -> str:
+    h = CHROME_HEADER.replace("\n", "' || chr(10) || '")
+    f = CHROME_FOOTER.replace("\n", "' || chr(10) || '")
+    return SQL_COMPRESSION_SUMMARY_TEMPLATE.format(h=h, f=f)
+
+
 def framed_text_expr():
     """The framed multiline view as a Spark Column (mirrors
     sql_template_ngram_strip's derivation)."""
