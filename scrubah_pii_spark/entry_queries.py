@@ -1149,6 +1149,56 @@ def q_yaml_sink(spark, sf_dir):
     )
 
 
+def q_timeline_report(spark, sf_dir):
+    """Master-timeline markdown (timelineOrganizer.effect.ts:345-452) per
+    user over events — the reference's flagship corpus output. The per-user
+    report string is built by the SAME operators.report.timeline_markdown
+    function the batch report job uses, inside an Arrow-grouped UDF."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from .operators.report import timeline_markdown
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("evs"),
+        F.count("*").cast("long").alias("n"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+
+    FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+    @F.pandas_udf(StringType())
+    def report_udf(ns, mns, mxs, evss):
+        outs = []
+        for n, mn, mx, evs in zip(ns, mns, mxs, evss):
+            summary = {
+                "total_documents": int(n),
+                "duplicates": 0,
+                "date_start": mn.strftime(FMT),
+                "date_end": mx.strftime(FMT),
+            }
+            docs = [
+                {
+                    "document_number": i + 1,
+                    "url": f"doc-{e['event_id']}",
+                    "doc_type": e["event_type"],
+                    "warc_ts": e["ts"].strftime(FMT),
+                    "scrubbed_text": f"value: {e['value']}",
+                }
+                for i, e in enumerate(evs)
+            ]
+            outs.append(timeline_markdown(summary, docs))
+        return pd.Series(outs)
+
+    return agg.select(
+        "user_id", report_udf("n", "mn", "mx", "evs").alias("report")
+    )
+
+
 def q_pipeline_flagship(spark, sf_dir):
     """Full webtext pipeline over documents mapped into the input-hint shape."""
     from .plans.pipeline import run_pipeline
@@ -1204,6 +1254,7 @@ QUERIES = {
     "doc_embed_neardup": q_doc_embed_neardup,
     "scrub_audit": q_scrub_audit,
     "yaml_sink": q_yaml_sink,
+    "timeline_report": q_timeline_report,
     "pipeline_flagship": q_pipeline_flagship,
 }
 
@@ -1247,4 +1298,5 @@ def oracle_map() -> dict:
         "lab_trend_summary": o2.sql_lab_trend_summary(),
         "multimodal_features": o2.SQL_MULTIMODAL,
         "pii_scrub": o2.SQL_PII_SCRUB,
+        "timeline_report": o2.sql_timeline_report(),
     }

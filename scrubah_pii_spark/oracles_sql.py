@@ -919,6 +919,42 @@ FROM agg
 """
 
 
+# --- master timeline markdown report --------------------------------------------
+
+def sql_timeline_report() -> str:
+    """operators.report.timeline_markdown layout
+    (timelineOrganizer.effect.ts:345-452) per user over events: summary
+    header + chronologically numbered per-document sections. Timestamps
+    formatted '%Y-%m-%d %H:%M:%S.%f' in both engines."""
+    nl = "chr(10)"
+    fmt = "'%Y-%m-%d %H:%M:%S.%f'"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+), agg AS (
+  SELECT user_id, count(*) AS n,
+    strftime(min(ts), {fmt}) AS mn, strftime(max(ts), {fmt}) AS mx,
+    string_agg(
+      '## Document ' || CAST(seq AS VARCHAR)
+        || ': doc-' || CAST(event_id AS VARCHAR) || {nl} ||
+      '*Type: ' || event_type || ' | Date: ' || strftime(ts, {fmt}) || '*' || {nl} ||
+      'value: ' || CAST(value AS VARCHAR),
+      {nl} || {nl} ORDER BY seq) AS blocks
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+  '# Master Timeline' || {nl} || {nl}
+  || 'Total documents: ' || CAST(n AS VARCHAR) || {nl}
+  || 'Duplicates: 0' || {nl}
+  || 'Date range: ' || mn || ' .. ' || mx || {nl} || {nl}
+  || blocks || {nl}
+  AS report
+FROM agg
+"""
+
+
 # --- template lines over the word-per-line view --------------------------------
 
 SQL_TEMPLATE_LINES = """
