@@ -283,6 +283,134 @@ def analyze_near_duplicates_bucketed(
     )
 
 
+def dedup_verdicts_fused(
+    slim: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    doc_type_col: str = "doc_type",
+    simhash_col: str = "simhash",
+    hash_col: str = "content_hash",
+    near_threshold: float = 0.95,
+    same_event_threshold: float = 0.70,
+    same_event_hours: float = 72.0,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact-dup removal + bucket-representative near-dup verdicts in ONE
+    fused chain over a slim (url, ts, doc_type, simhash, content_hash)
+    projection. Returns one row per NON-exact-duplicate doc, keyed by
+    (url, ts): content_hash, near_dup_of, similarity, difference_type,
+    is_near_dup. Exact duplicates are absent from the output, so the caller's
+    inner join drops them without an is_exact_dup filter.
+
+    Exchange economics (the fixed dedup term at scale): three exchanges —
+    shuffle(content_hash) window, shuffle(band, bits) window, and one
+    groupBy(url, ts) that folds the per-band verdicts — where the previous
+    shape (mark -> filter -> banded analysis -> best-join-back -> marked-join-
+    near) spent five plus a corpus-wide verdict frame. Identity is the
+    composite (url, ts) everywhere, so re-crawled urls (same url, different
+    warc_ts) never fan a join out (each physical row carries its own verdict).
+
+    Semantics: contentHasher.effect.ts:240-301 verdict tiers;
+    timelineOrganizer.effect.ts:246-305 first-previous-wins via the
+    min-by-(order key) fold; same bucket-representative approximation as
+    analyze_near_duplicates_bucketed (documented there)."""
+    order_key = F.concat_ws(
+        "|",
+        F.date_format(F.col(ts_col).cast("timestamp"), "yyyyMMddHHmmss"),
+        F.col(url_col),
+    )
+    keyed = slim.withColumn("_order_key", order_key)
+
+    # exchange 1: exact-dup window on content_hash (earliest (ts, url) wins)
+    w_hash = Window.partitionBy(hash_col).orderBy(ts_col, url_col)
+    uniq = keyed.withColumn("_rn", F.row_number().over(w_hash)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+    # exchange 2: explode (band, bits) -> rep-compare window; every banded row
+    # survives (non-matching rows keep NULL pair fields) so the per-doc fold
+    # can default to 'unique' without a join back to the corpus.
+    banded = uniq.select(
+        F.col(url_col),
+        F.col(ts_col),
+        F.col(doc_type_col).alias("_dt"),
+        F.col(simhash_col).alias("_sh"),
+        F.col(hash_col),
+        "_order_key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("_band"),
+                    simhash_band_expr(F.col(simhash_col), b, bands).alias("_bits"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select(
+        url_col, ts_col, "_dt", "_sh", hash_col, "_order_key",
+        "_bk._band", "_bk._bits",
+    )
+    w_band = Window.partitionBy("_band", "_bits").orderBy("_order_key")
+    sim = simhash_similarity_expr(F.col("_sh"), F.first("_sh").over(w_band))
+    compared = (
+        banded.withColumn("_rep_url", F.first(url_col).over(w_band))
+        .withColumn("_rep_ts", F.first(ts_col).over(w_band))
+        .withColumn("_rep_dt", F.first("_dt").over(w_band))
+        .withColumn("_rep_order", F.first("_order_key").over(w_band))
+        .withColumn(
+            "_sim", F.when(F.col("_order_key") != F.col("_rep_order"), sim)
+        )
+        .withColumn(
+            "_pair_type",
+            F.when(F.col("_sim") >= near_threshold, "near-duplicate").when(
+                (F.col("_sim") >= same_event_threshold)
+                & (F.col("_dt") == F.col("_rep_dt"))
+                & (
+                    F.abs(
+                        F.col(ts_col).cast("timestamp").cast("long")
+                        - F.col("_rep_ts").cast("timestamp").cast("long")
+                    )
+                    <= int(same_event_hours * 3600)
+                ),
+                "same-event",
+            ),
+        )
+    )
+
+    # exchange 3: fold the <= `bands` rows per doc into one verdict.
+    # min_by order: matched rows use the rep's order key; unmatched rows get
+    # the '~' sentinel (0x7E — sorts after every yyyyMMdd...|url key), so
+    # first-previous-wins among matches and 'unique' only when nothing matched.
+    fold_order = F.when(
+        F.col("_pair_type").isNotNull(), F.col("_rep_order")
+    ).otherwise(F.lit("~"))
+    return (
+        compared.groupBy(url_col, ts_col)
+        .agg(
+            F.first(hash_col).alias(hash_col),
+            F.min_by(
+                F.struct(
+                    F.col("_rep_url").alias("u"),
+                    F.col("_sim").alias("s"),
+                    F.col("_pair_type").alias("p"),
+                ),
+                fold_order,
+            ).alias("_m"),
+        )
+        .select(
+            url_col,
+            ts_col,
+            hash_col,
+            F.when(F.col("_m.p").isNotNull(), F.col("_m.u")).alias("near_dup_of"),
+            F.when(F.col("_m.p").isNotNull(), F.col("_m.s")).alias("similarity"),
+            F.coalesce(F.col("_m.p"), F.lit("unique")).alias("difference_type"),
+            (F.coalesce(F.col("_m.p"), F.lit("unique")) == "near-duplicate").alias(
+                "is_near_dup"
+            ),
+        )
+    )
+
+
 # --- MinHash LSH over word shingles --------------------------------------------
 # 2^31-1: keeps (x % P) * a + b < 2^62 — no int64 overflow under ANSI mode
 _P32 = 2147483647

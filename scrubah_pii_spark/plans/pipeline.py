@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_PIPELINE_CONFIG, PipelineConfig
 from ..functions.relevance_expr import generation_from_ts
 from ..functions.hashing_expr import doc_type_expr
-from ..operators.dedup import analyze_near_duplicates_bucketed, mark_exact_duplicates
+from ..operators.dedup import dedup_verdicts_fused
 from ..operators.scrub_op import (
     extract_text_udf,
     leak_check_expr,
@@ -156,30 +156,25 @@ def run_pipeline(
     candidates = labeled.filter(F.col("recommendation") != "discard")
 
     # -- dedup on a SLIM projection. The exact-dup window (shuffle on
-    # content_hash) and the band-key shuffle previously moved every row WITH
-    # its scrubbed text (~1 KB/row — the dominant dedup-stage cost at scale);
-    # verdicts need only (url, ts, doc_type, simhash, content_hash) ~60 B/row.
-    # One verdict join at the end re-attaches them (verdict frame is a
-    # fraction of the corpus; AQE broadcasts it when small, and at cluster
-    # scale it is a co-partitioned join on url).
+    # content_hash) and the band-key shuffle move only
+    # (url, ts, doc_type, simhash, content_hash) ~60 B/row — the scrubbed
+    # text (~1 KB/row) never shuffles. dedup_verdicts_fused runs the whole
+    # verdict chain in THREE exchanges (hash window, band window, per-doc
+    # fold) and returns one row per non-exact-duplicate (url, warc_ts), so
+    # the single inner join below both re-attaches verdict columns and drops
+    # exact dups. Joining on the composite (url, warc_ts) — not url alone —
+    # keeps re-crawled urls (same url, different warc_ts) from fanning the
+    # join out and silently defeating exact dedup. AQE broadcasts the verdict
+    # side when small; at cluster scale it is a shuffle join on short keys.
     from ..functions.hashing_expr import content_hash_expr
 
     slim = candidates.select(
         "url", "warc_ts", "doc_type", "simhash",
         content_hash_expr(F.col("scrubbed_text")).alias("content_hash"),
     )
-    marked = mark_exact_duplicates(slim, hash_col="content_hash")
-    uniq = marked.filter(~F.col("is_exact_dup"))
-    near = analyze_near_duplicates_bucketed(uniq)
-    verdicts = marked.select("url", "content_hash", "is_exact_dup").join(
-        near.select(
-            "url", "near_dup_of", "similarity", "difference_type", "is_near_dup"
-        ),
-        "url",
-        "left",
-    )
-    survivors = candidates.join(verdicts, "url").filter(
-        ~F.col("is_exact_dup") & ~F.coalesce(F.col("is_near_dup"), F.lit(False))
+    verdicts = dedup_verdicts_fused(slim)
+    survivors = candidates.join(verdicts, ["url", "warc_ts"]).filter(
+        ~F.col("is_near_dup")
     )
 
     # -- leak check: hard gate before the sink (phi.ts assertion semantics)

@@ -123,6 +123,72 @@ class TestDedupAndLeaks:
         types = {r["pattern_type"] for r in lin.select("pattern_type").distinct().collect()}
         assert types & {"EMAIL", "PHONE", "SSN", "NAME", "DATE"}
 
+    def test_fused_verdicts_match_legacy_path(self, result):
+        """dedup_verdicts_fused (3 exchanges) must produce exactly the same
+        survivor set + verdict columns as the legacy mark -> bucketed-analyze
+        -> join composition it replaced."""
+        from scrubah_pii_spark.functions.hashing_expr import content_hash_expr
+        from scrubah_pii_spark.operators.dedup import (
+            analyze_near_duplicates_bucketed,
+            dedup_verdicts_fused,
+            mark_exact_duplicates,
+        )
+
+        slim = result.labeled.filter(
+            F.col("recommendation") != "discard"
+        ).select(
+            "url", "warc_ts", "doc_type", "simhash",
+            content_hash_expr(F.col("scrubbed_text")).alias("content_hash"),
+        )
+        fused = {
+            (r["url"], r["warc_ts"]): (
+                r["content_hash"], r["near_dup_of"], r["similarity"],
+                r["difference_type"], r["is_near_dup"],
+            )
+            for r in dedup_verdicts_fused(slim).collect()
+        }
+        marked = mark_exact_duplicates(slim, hash_col="content_hash")
+        legacy = {
+            (r["url"], r["warc_ts"]): (
+                r["content_hash"], r["near_dup_of"], r["similarity"],
+                r["difference_type"], r["is_near_dup"],
+            )
+            for r in analyze_near_duplicates_bucketed(
+                marked.filter(~F.col("is_exact_dup"))
+            ).collect()
+        }
+        assert fused == legacy
+
+    def test_recrawled_url_single_survivor(self, spark):
+        """Same url re-crawled at two warc_ts with identical content: the
+        composite-key verdict join must keep exactly ONE copy (the url-keyed
+        join this replaces fanned out and kept both)."""
+        import datetime
+
+        from scrubah_pii_spark.sources.synth import generate_rows
+
+        base = [r for r in generate_rows(40) if r["text"]][:20]
+        rows = []
+        for r in base:
+            rows.append((r["url"], r["warc_ts"], None, r["text"], r["lang"]))
+        # re-crawl the first 5 urls 1 day later, byte-identical text
+        for r in base[:5]:
+            rows.append((
+                r["url"],
+                r["warc_ts"] + datetime.timedelta(days=1),
+                None, r["text"], r["lang"],
+            ))
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        res = run_pipeline(df)
+        out = res.output.select("url", "warc_ts").collect()
+        urls = [r["url"] for r in out]
+        assert len(urls) == len(set(urls)), "re-crawled url appears twice in output"
+        labeled_n = res.labeled.count()
+        assert labeled_n == len(rows)
+        res.labeled.unpersist()
+
     def test_host_salted_repartition_same_output(self, webpages, result):
         """The skew-safe host-salted pre-repartition (repartition on
         (host, salt)) is a pure physical-layout choice — output identical
