@@ -1199,6 +1199,114 @@ def q_timeline_report(spark, sf_dir):
     )
 
 
+def q_whitelist_extraction(spark, sf_dir):
+    """Whitelist medical extraction (services/whitelist/ — the reference's
+    second, extraction-based engine): nested ExtractedMedicalRecord per doc,
+    flattened to counts + one representative value per clinical category.
+
+    Probe-driven expected-output oracle (driver corpus has no clinical
+    content): both engines see the same deterministic doc_id-derived probe
+    cycling all five document types; the Spark side runs the REAL extractor
+    (core/whitelist.py, JS-parity-proven vs tools/whitelist_harness.mjs);
+    the DuckDB side mirrors the expected outputs arithmetically
+    (oracles_sql.sql_whitelist_extraction)."""
+    from .operators.whitelist_op import add_whitelist_extraction
+    from .oracles_sql import whitelist_probe_expr
+
+    docs = _docs(spark, sf_dir).withColumn("probe", whitelist_probe_expr())
+    df = add_whitelist_extraction(docs, "probe", as_of_date="2026-01-01")
+    r = F.col("medical_record")
+    panel1 = F.try_element_at(r["lab_panels"], F.lit(1))
+    lab1 = F.try_element_at(panel1["results"], F.lit(1))
+    lab2 = F.try_element_at(panel1["results"], F.lit(2))
+    med1 = F.try_element_at(r["medications"], F.lit(1))
+    dx1 = F.try_element_at(r["diagnoses"], F.lit(1))
+    img1 = F.try_element_at(r["imaging_findings"], F.lit(1))
+    path1 = F.try_element_at(r["pathology"], F.lit(1))
+    vit1 = F.try_element_at(r["vital_signs"], F.lit(1))
+    return df.select(
+        "doc_id",
+        r["document_type"].alias("document_type"),
+        r["document_date"].alias("document_date"),
+        r["extraction_confidence"].cast("long").alias("confidence"),
+        F.aggregate(
+            r["lab_panels"], F.lit(0),
+            lambda acc, p: acc + F.size(p["results"]),
+        ).cast("long").alias("n_labs"),
+        F.size(r["medications"]).cast("long").alias("n_meds"),
+        F.size(r["diagnoses"]).cast("long").alias("n_dx"),
+        F.size(r["imaging_findings"]).cast("long").alias("n_imaging"),
+        F.size(r["vital_signs"]).cast("long").alias("n_vitals"),
+        F.size(r["pathology"]).cast("long").alias("n_path"),
+        lab1["test_name"].alias("lab1_name"),
+        lab1["value"].alias("lab1_value"),
+        lab1["unit"].alias("lab1_unit"),
+        lab1["reference_range"].alias("lab1_ref"),
+        lab1["status"].alias("lab1_status"),
+        lab2["status"].alias("lab2_status"),
+        panel1["collection_date"].alias("panel_date"),
+        med1["name"].alias("med1_name"),
+        med1["dose"].alias("med1_dose"),
+        med1["route"].alias("med1_route"),
+        med1["frequency"].alias("med1_freq"),
+        dx1["condition"].alias("dx1_condition"),
+        dx1["severity"].alias("dx1_severity"),
+        img1["modality"].alias("img_modality"),
+        img1["body_part"].alias("img_body_part"),
+        path1["specimen_type"].alias("path_specimen"),
+        path1["diagnosis"].alias("path_diagnosis"),
+        path1["grade"].alias("path_grade"),
+        path1["margins"].alias("path_margins"),
+        vit1["blood_pressure_systolic"].cast("long").alias("vit_bp_sys"),
+        vit1["blood_pressure_diastolic"].cast("long").alias("vit_bp_dia"),
+        vit1["heart_rate"].cast("long").alias("vit_hr"),
+        vit1["respiratory_rate"].cast("long").alias("vit_rr"),
+    )
+
+
+def q_whitelist_timeline(spark, sf_dir):
+    """buildMasterTimelineV2 (extractionPipeline.effect.ts:230-259) per
+    doc_id bucket over the whitelist probe. The markdown itself is byte-gated
+    vs the native-JS harness in pytest (tests/golden/whitelist_golden.json);
+    here the DRIVER oracle checks structural invariants extracted from the
+    REAL rendered markdown: one '### ' document section per doc, one lab
+    table per lab-report doc, and the stats-block extraction counts — all
+    arithmetically derivable from doc_id, so a formatter drift (dropped
+    section, broken stats block) hash-mismatches."""
+    from .operators.whitelist_op import whitelist_timeline_v2
+    from .oracles_sql import whitelist_probe_expr
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("probe", whitelist_probe_expr())
+        .withColumn("bucket", (F.col("doc_id") % 25).cast("string"))
+        .withColumn("fname", F.concat(F.lit("probe_"), F.col("doc_id"), F.lit(".txt")))
+    )
+    tl = whitelist_timeline_v2(
+        docs, "bucket", "doc_id", "fname", "probe",
+        as_of_date="2026-01-01", generated_at="2026-01-01T00:00:00.000Z",
+    )
+    md = F.col("markdown")
+    return tl.select(
+        "group_key",
+        F.col("total_documents").cast("long").alias("total_documents"),
+        F.col("unique_documents").cast("long").alias("unique_documents"),
+        F.col("duplicates").cast("long").alias("duplicates"),
+        (F.length(md) - F.length(F.replace(md, F.lit("\n### "), F.lit(""))))
+        .cast("long").alias("section_chars"),
+        (
+            (F.length(md) - F.length(F.replace(md, F.lit("**Collection Date**: "), F.lit(""))))
+            / F.lit(len("**Collection Date**: "))
+        ).cast("long").alias("n_lab_tables"),
+        F.regexp_extract(md, r"- Lab results extracted: (\d+)", 1)
+        .cast("long").alias("stats_labs"),
+        F.regexp_extract(md, r"- Medications extracted: (\d+)", 1)
+        .cast("long").alias("stats_meds"),
+        F.regexp_extract(md, r"- Diagnoses extracted: (\d+)", 1)
+        .cast("long").alias("stats_dx"),
+    )
+
+
 def q_pipeline_flagship(spark, sf_dir):
     """Full webtext pipeline over documents mapped into the input-hint shape."""
     from .plans.pipeline import run_pipeline
@@ -1255,6 +1363,8 @@ QUERIES = {
     "scrub_audit": q_scrub_audit,
     "yaml_sink": q_yaml_sink,
     "timeline_report": q_timeline_report,
+    "whitelist_extraction": q_whitelist_extraction,
+    "whitelist_timeline": q_whitelist_timeline,
     "pipeline_flagship": q_pipeline_flagship,
 }
 
@@ -1299,4 +1409,6 @@ def oracle_map() -> dict:
         "multimodal_features": o2.SQL_MULTIMODAL,
         "pii_scrub": o2.SQL_PII_SCRUB,
         "timeline_report": o2.sql_timeline_report(),
+        "whitelist_extraction": o2.sql_whitelist_extraction(),
+        "whitelist_timeline": o2.sql_whitelist_timeline(),
     }

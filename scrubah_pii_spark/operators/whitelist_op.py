@@ -1,0 +1,177 @@
+"""Whitelist medical-extraction Spark operator.
+
+Reference: services/whitelist/services/medicalExtractor.effect.ts (extraction),
+extractionPipeline.effect.ts:230-259 (buildMasterTimelineV2),
+timelineFormatter.effect.ts (markdown).
+
+Spark-first design: the whole per-document extraction is ONE Arrow-batched
+pandas UDF producing a nested STRUCT column (arrays of structs per clinical
+category) — regexes are module-compiled once per executor, no per-row
+Python. The timeline V2 report is a per-group applyInPandas over the
+already-extracted records (report-sized groups, same shape as the reference's
+in-memory buildMasterTimelineV2 over one user's documents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_LAB_RESULT = StructType([
+    StructField("test_name", StringType()),
+    StructField("value", StringType()),
+    StructField("unit", StringType()),
+    StructField("date", StringType()),
+    StructField("reference_range", StringType()),
+    StructField("status", StringType()),
+])
+
+RECORD_SCHEMA = StructType([
+    StructField("source_document_hash", StringType()),
+    StructField("document_type", StringType()),
+    StructField("document_date", StringType()),
+    StructField("extraction_confidence", IntegerType()),
+    StructField("diagnoses", ArrayType(StructType([
+        StructField("condition", StringType()),
+        StructField("icd_code", StringType()),
+        StructField("severity", StringType()),
+        StructField("status", StringType()),
+    ]))),
+    StructField("lab_panels", ArrayType(StructType([
+        StructField("collection_date", StringType()),
+        StructField("results", ArrayType(_LAB_RESULT)),
+    ]))),
+    StructField("medications", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("dose", StringType()),
+        StructField("unit", StringType()),
+        StructField("route", StringType()),
+        StructField("frequency", StringType()),
+        StructField("status", StringType()),
+    ]))),
+    StructField("imaging_findings", ArrayType(StructType([
+        StructField("modality", StringType()),
+        StructField("body_part", StringType()),
+        StructField("findings", ArrayType(StringType())),
+        StructField("impression", StringType()),
+    ]))),
+    StructField("vital_signs", ArrayType(StructType([
+        StructField("blood_pressure_systolic", IntegerType()),
+        StructField("blood_pressure_diastolic", IntegerType()),
+        StructField("heart_rate", IntegerType()),
+        StructField("respiratory_rate", IntegerType()),
+        StructField("temperature", DoubleType()),
+        StructField("temperature_unit", StringType()),
+        StructField("oxygen_saturation", IntegerType()),
+        StructField("weight", DoubleType()),
+        StructField("weight_unit", StringType()),
+        StructField("pain_scale", IntegerType()),
+    ]))),
+    StructField("pathology", ArrayType(StructType([
+        StructField("specimen_type", StringType()),
+        StructField("diagnosis", StringType()),
+        StructField("grade", StringType()),
+        StructField("stage", StringType()),
+        StructField("margins", StringType()),
+    ]))),
+    StructField("warnings", ArrayType(StringType())),
+])
+
+
+def make_whitelist_udf(as_of_date: str = "2026-01-01"):
+    """Arrow-batched (text, filename) -> ExtractedMedicalRecord struct."""
+    import pandas as pd
+
+    @F.pandas_udf(RECORD_SCHEMA)
+    def whitelist_udf(texts, filenames):
+        from ..core.whitelist import extract_medical_data, simple_hash_hex
+
+        rows = []
+        for text, filename in zip(texts, filenames):
+            t = text or ""
+            rec = extract_medical_data(
+                t, filename or "", simple_hash_hex(t), as_of_date
+            )
+            rows.append({
+                "source_document_hash": rec.source_document_hash,
+                "document_type": rec.document_type,
+                "document_date": rec.document_date,
+                "extraction_confidence": rec.extraction_confidence,
+                "diagnoses": rec.diagnoses,
+                "lab_panels": rec.lab_panels,
+                "medications": rec.medications,
+                "imaging_findings": rec.imaging_findings,
+                "vital_signs": rec.vital_signs,
+                "pathology": rec.pathology,
+                "warnings": rec.warnings,
+            })
+        return pd.DataFrame(rows)
+
+    return whitelist_udf
+
+
+def add_whitelist_extraction(
+    df: DataFrame,
+    text_col: str = "text",
+    filename_col: str | None = None,
+    as_of_date: str = "2026-01-01",
+) -> DataFrame:
+    """Adds a `medical_record` nested-struct column (whitelist extraction)."""
+    fn = F.col(filename_col) if filename_col else F.lit("")
+    udf = make_whitelist_udf(as_of_date)
+    return df.withColumn("medical_record", udf(F.col(text_col), fn))
+
+
+def whitelist_timeline_v2(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    filename_col: str,
+    text_col: str,
+    as_of_date: str = "2026-01-01",
+    generated_at: str = "2026-01-01T00:00:00.000Z",
+) -> DataFrame:
+    """buildMasterTimelineV2 per group: (group, markdown, total_documents,
+    unique_documents, duplicates). applyInPandas — each group is one
+    report-sized document set, formatted with the same pure kernel the
+    goldens gate."""
+    out_schema = StructType([
+        StructField("group_key", StringType()),
+        StructField("markdown", StringType()),
+        StructField("total_documents", IntegerType()),
+        StructField("unique_documents", IntegerType()),
+        StructField("duplicates", IntegerType()),
+    ])
+
+    def build(pdf):
+        import pandas as pd
+
+        from ..core.whitelist_timeline import build_master_timeline_v2
+
+        pdf = pdf.sort_values(id_col)
+        files = [
+            {"id": str(r[id_col]), "original_name": r[filename_col],
+             "raw_text": r[text_col]}
+            for _, r in pdf.iterrows()
+        ]
+        res = build_master_timeline_v2(files, as_of_date, generated_at)
+        return pd.DataFrame([{
+            "group_key": str(pdf[group_col].iloc[0]),
+            "markdown": res["markdown"],
+            "total_documents": res["summary"]["total_documents"],
+            "unique_documents": res["summary"]["unique_documents"],
+            "duplicates": res["summary"]["duplicates"],
+        }])
+
+    return (
+        df.select(group_col, id_col, filename_col, text_col)
+        .groupBy(group_col)
+        .applyInPandas(build, out_schema)
+    )

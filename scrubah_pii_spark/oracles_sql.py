@@ -970,3 +970,146 @@ SELECT line, CAST(doc_count AS BIGINT) AS doc_count
 FROM c, n
 WHERE doc_count >= greatest(2, CAST(floor(n.total * 0.5) AS BIGINT))
 """
+
+
+# --- whitelist medical extraction --------------------------------------------
+# Probe-driven expected-output oracle (same technique as pii_scrub /
+# structured_extraction): the Spark query runs the REAL whitelist extractor
+# (core/whitelist.py — JS-parity-proven vs tools/whitelist_harness.mjs) over a
+# deterministic doc_id-derived probe; the oracle encodes the expected outputs
+# as arithmetic. Probe variants cycle doc types (lab / imaging / pathology /
+# medication-list / progress-note) and sweep every lab status tier.
+# Expected values validated against the extractor for doc_id 0..299 before
+# the SQL was written (see NOTES_r3.md).
+
+
+def whitelist_probe_expr():
+    """The whitelist probe as a Spark Column over doc_id."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    t = d % 5
+    k = d % 240
+    k_div = F.floor(k / F.lit(10)).cast("long")
+    g = (d * 7) % 180 + 20
+    lab = F.concat(
+        F.lit("Laboratory results\nDate: 3/"), s(d % 28 + 1),
+        F.lit("/2024\nWBC: "), s(k_div), F.lit("."), s(k % 10),
+        F.lit(" K/uL\nGlucose: "), s(g), F.lit(" mg/dL\n"),
+    )
+    img = F.concat(
+        F.lit("Radiology imaging review\n"),
+        F.when(d % 2 == 0, F.lit("CT")).otherwise(F.lit("MRI")),
+        F.lit(" of the "),
+        F.element_at(F.array(F.lit("chest"), F.lit("abdomen"), F.lit("pelvis")), (d % 3 + 1).cast("int")),
+        F.lit(" performed today\nIMPRESSION: stable postsurgical scarring"
+              " at the left base with no new nodule\n"),
+    )
+    path = F.concat(
+        F.lit("Surgical pathology report\nSpecimen: gastric biopsy tissue\n"
+              "DIAGNOSIS:\npoorly differentiated adenocarcinoma\nGRADE: "),
+        s(d % 4),
+        F.lit("\nMARGINS: "),
+        F.when(d % 2 == 0, F.lit("negative")).otherwise(F.lit("positive")),
+        F.lit("\n"),
+    )
+    meds = F.concat(
+        F.lit("Pharmacy prescription refill\nMetformin "), s((d % 9 + 1) * 50),
+        F.lit(" mg oral twice daily\nLisinopril "), s((d % 4 + 1) * 10),
+        F.lit(" mg PO daily\n"),
+    )
+    note = F.concat(
+        F.lit("Progress note assessment\nBP: "), s(d % 60 + 100),
+        F.lit("/"), s(d % 40 + 60),
+        F.lit(" HR: "), s(d % 100 + 40),
+        F.lit(" RR: "), s(d % 20 + 10),
+        F.lit("\nPatient diagnosed with chronic kidney disease today\n"),
+    )
+    return (
+        F.when(t == 0, lab)
+        .when(t == 1, img)
+        .when(t == 2, path)
+        .when(t == 3, meds)
+        .otherwise(note)
+    )
+
+
+def sql_whitelist_extraction() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 AS t, doc_id AS u,
+         doc_id % 240 AS k, (doc_id * 7) % 180 + 20 AS g
+  FROM documents
+)
+SELECT
+  doc_id,
+  CASE t WHEN 0 THEN 'lab_report' WHEN 1 THEN 'imaging'
+         WHEN 2 THEN 'pathology' WHEN 3 THEN 'medication_list'
+         ELSE 'progress_note' END AS document_type,
+  CASE WHEN t = 0 THEN '3/' || CAST(u % 28 + 1 AS VARCHAR) || '/2024' END AS document_date,
+  CAST(CASE WHEN t IN (0, 3, 4) THEN 76 ELSE 73 END AS BIGINT) AS confidence,
+  CAST(CASE WHEN t = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_labs,
+  CAST(CASE WHEN t = 3 THEN 2 ELSE 0 END AS BIGINT) AS n_meds,
+  CAST(CASE WHEN t = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_dx,
+  CAST(CASE WHEN t = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_imaging,
+  CAST(CASE WHEN t = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_vitals,
+  CAST(CASE WHEN t = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_path,
+  CASE WHEN t = 0 THEN 'WBC' END AS lab1_name,
+  CASE WHEN t = 0 THEN CAST(k // 10 AS VARCHAR) || '.' || CAST(k % 10 AS VARCHAR) END AS lab1_value,
+  CASE WHEN t = 0 THEN 'K/uL' END AS lab1_unit,
+  CASE WHEN t = 0 THEN '4-11' END AS lab1_ref,
+  CASE WHEN t = 0 THEN
+    CASE WHEN k < 20 THEN 'Critical' WHEN k < 40 THEN 'Low'
+         WHEN k > 220 THEN 'Critical' WHEN k > 110 THEN 'High'
+         ELSE 'Normal' END
+  END AS lab1_status,
+  CASE WHEN t = 0 THEN
+    CASE WHEN g < 35 THEN 'Critical' WHEN g < 70 THEN 'Low'
+         WHEN g > 100 THEN 'High' ELSE 'Normal' END
+  END AS lab2_status,
+  CASE WHEN t = 0 THEN '3/' || CAST(u % 28 + 1 AS VARCHAR) || '/2024' END AS panel_date,
+  CASE WHEN t = 3 THEN 'Metformin' END AS med1_name,
+  CASE WHEN t = 3 THEN CAST((u % 9 + 1) * 50 AS VARCHAR) END AS med1_dose,
+  CASE WHEN t = 3 THEN 'oral' END AS med1_route,
+  CASE WHEN t = 3 THEN 'twice' END AS med1_freq,
+  CASE WHEN t = 4 THEN 'chronic kidney disease' END AS dx1_condition,
+  CASE WHEN t = 4 THEN 'unspecified' END AS dx1_severity,
+  CASE WHEN t = 1 THEN (CASE WHEN u % 2 = 0 THEN 'ct' ELSE 'mri' END) END AS img_modality,
+  CASE WHEN t = 1 THEN
+    (CASE u % 3 WHEN 0 THEN 'chest' WHEN 1 THEN 'abdomen' ELSE 'pelvis' END)
+  END AS img_body_part,
+  CASE WHEN t = 2 THEN 'gastric biopsy tissue' END AS path_specimen,
+  CASE WHEN t = 2 THEN 'poorly differentiated adenocarcinoma' END AS path_diagnosis,
+  CASE WHEN t = 2 THEN CAST(u % 4 AS VARCHAR) END AS path_grade,
+  CASE WHEN t = 2 THEN (CASE WHEN u % 2 = 0 THEN 'negative' ELSE 'positive' END) END AS path_margins,
+  CAST(CASE WHEN t = 4 THEN u % 60 + 100 END AS BIGINT) AS vit_bp_sys,
+  CAST(CASE WHEN t = 4 THEN u % 40 + 60 END AS BIGINT) AS vit_bp_dia,
+  CAST(CASE WHEN t = 4 THEN u % 100 + 40 END AS BIGINT) AS vit_hr,
+  CAST(CASE WHEN t = 4 THEN u % 20 + 10 END AS BIGINT) AS vit_rr
+FROM p
+"""
+
+
+def sql_whitelist_timeline() -> str:
+    # structural invariants of the rendered timeline markdown:
+    # one '\n### ' document section per doc (+2 from the summary's
+    # 'Active Diagnoses' / 'Current Medications' headings), one lab table
+    # per lab-report probe doc, stats-block totals per category.
+    return """
+WITH p AS (SELECT doc_id % 25 AS b, doc_id % 5 AS t FROM documents)
+SELECT
+  CAST(b AS VARCHAR) AS group_key,
+  CAST(count(*) AS BIGINT) AS total_documents,
+  CAST(count(*) AS BIGINT) AS unique_documents,
+  CAST(0 AS BIGINT) AS duplicates,
+  CAST((count(*) + 2) * 5 AS BIGINT) AS section_chars,
+  CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lab_tables,
+  CAST(sum(CASE WHEN t = 0 THEN 2 ELSE 0 END) AS BIGINT) AS stats_labs,
+  CAST(sum(CASE WHEN t = 3 THEN 2 ELSE 0 END) AS BIGINT) AS stats_meds,
+  CAST(sum(CASE WHEN t = 4 THEN 1 ELSE 0 END) AS BIGINT) AS stats_dx
+FROM p GROUP BY b
+"""
