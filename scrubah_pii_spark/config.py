@@ -19,6 +19,12 @@ class ScrubConfig:
     enable_ml: bool = False  # deterministic path; ML NER is not byte-stable
     enable_regex: bool = True
     enable_context_detection: bool = True
+    # Cascade selection (App.tsx:123-151): the production path runs the
+    # WORKER rule set first, then the Effect pass over its output with maps
+    # merged — the default mirrors App.tsx. "effect" runs only the Effect
+    # cascade (the reference's deterministic test configuration, and the
+    # config its byte-identical goldens pin).
+    scrub_mode: str = "worker_then_effect"  # "effect" | "worker_then_effect"
 
 
 @dataclass(frozen=True)

@@ -298,6 +298,29 @@ def scrub_text(text: str, enable_context_detection: bool = True) -> ScrubOutcome
     return ScrubOutcome(text=st.text, replacements=st.replacements, counters=st.counters)
 
 
+def scrub_text_production(text: str) -> ScrubOutcome:
+    """The App.tsx:123-151 PRODUCTION composition: worker rule set first
+    (scrubber.worker.ts, forward-order counters), then the Effect pass over
+    its output, replacement maps merged with the Effect pass winning key
+    conflicts (the `{...regexResult.replacements, ...scrubResult.
+    replacements}` spread at App.tsx:142-145); count is recomputed from the
+    merged map (App.tsx:149).
+
+    Determinism note: the reference's second pass runs {enableRegex: false,
+    enableContextDetection: false, enableML: true} — a pure BERT-NER pass
+    that is not byte-stable. Under the reference's own deterministic switch
+    (enableML: false, schemas.ts:1083-1099 — the config its test suite
+    pins), the second pass becomes the Effect regex cascade; we keep
+    App.tsx's enableContextDetection=false for it, so the composed cascade
+    is worker -> Effect(regex, no context stages)."""
+    from . import scrub_worker
+
+    w = scrub_worker.scrub_text_worker(text)
+    e = scrub_text(w.text, enable_context_detection=False)
+    merged = {**w.replacements, **e.replacements}
+    return ScrubOutcome(text=e.text, replacements=merged, counters=e.counters)
+
+
 def scrub_text_audited(text: str, enable_context_detection: bool = True):
     """scrub_text + per-pattern audit entries (AuditCollector.log semantics,
     auditCollector.ts:38-52): (pattern_type, match_count, duration_ms) per

@@ -103,7 +103,8 @@ DOC_FEATURES_TYPE = StructType(
 _FEATURE_KEYS = tuple(f.name for f in DOC_FEATURES_TYPE.fields)
 
 
-def _doc_features_batch(texts, generations, keep_langs, min_quality):
+def _doc_features_batch(texts, generations, keep_langs, min_quality,
+                        scrub_mode="worker_then_effect"):
     """The fused per-doc pass: quality gate -> langid -> perplexity +
     repetition -> (gated) scrub -> simhash-of-scrubbed -> relevance scoring.
     One Arrow round-trip for ALL per-doc work; every kernel is the same pure
@@ -115,6 +116,11 @@ def _doc_features_batch(texts, generations, keep_langs, min_quality):
     from ..core import quality as _quality
     from ..core import relevance as _relevance
 
+    scrub_fn = (
+        scrub.scrub_text_production
+        if scrub_mode == "worker_then_effect"
+        else scrub.scrub_text
+    )
     out = {k: [] for k in _FEATURE_KEYS}
     for text, gen in zip(texts, generations):
         t = text if text is not None else ""
@@ -131,7 +137,7 @@ def _doc_features_batch(texts, generations, keep_langs, min_quality):
         out["word_count"].append(q.word_count)
         out["avg_word_len"].append(q.avg_word_len)
         if lang in keep_langs and q.passed:
-            sc = scrub.scrub_text(t)
+            sc = scrub_fn(t)
             rel = _relevance.relevance_score(sc.text, "", generation=int(gen))
             out["scrubbed_text"].append(sc.text)
             out["replacements"].append(sc.replacements)
@@ -167,12 +173,18 @@ def _doc_features_batch(texts, generations, keep_langs, min_quality):
     return out
 
 
-def make_doc_features_udf(keep_langs=("en",), min_quality: float = 0.3):
+def make_doc_features_udf(
+    keep_langs=("en",),
+    min_quality: float = 0.3,
+    scrub_mode: str = "worker_then_effect",
+):
     langs = tuple(keep_langs)
 
     @F.pandas_udf(DOC_FEATURES_TYPE)
     def doc_features_udf(texts: pd.Series, generations: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(_doc_features_batch(texts, generations, langs, min_quality))
+        return pd.DataFrame(
+            _doc_features_batch(texts, generations, langs, min_quality, scrub_mode)
+        )
 
     return doc_features_udf
 

@@ -114,7 +114,9 @@ def run_pipeline(
     df = df.withColumn(
         "generation", generation_from_ts(F.col("warc_ts"), cfg.relevance.current_year)
     )
-    feats = make_doc_features_udf(cfg.langid.keep_langs, cfg.quality.ocr_min_quality)
+    feats = make_doc_features_udf(
+        cfg.langid.keep_langs, cfg.quality.ocr_min_quality, cfg.scrub.scrub_mode
+    )
     df = df.withColumn("_f", feats(F.col("extracted_text"), F.col("generation")))
     df = df.withColumns(
         {name: F.col(f"_f.{name}") for name in (

@@ -15,7 +15,7 @@ from pathlib import Path
 
 import pytest
 
-from scrubah_pii_spark.core.scrub import scrub_text
+from scrubah_pii_spark.core.scrub import scrub_text, scrub_text_production
 from scrubah_pii_spark.core.scrub_worker import scrub_text_worker
 from scrubah_pii_spark.sources.synth import generate_rows
 
@@ -39,6 +39,9 @@ def test_scrub_goldens_byte_identical():
         w = scrub_text_worker(r["text"])
         assert _sha(w.text) == g["worker_scrubbed_sha"], (url, g["doc_class"])
         assert w.count == g["worker_count"], (url, g["doc_class"])
+        c = scrub_text_production(r["text"])
+        assert _sha(c.text) == g["composed_scrubbed_sha"], (url, g["doc_class"])
+        assert c.count == g["composed_count"], (url, g["doc_class"])
         checked += 1
     assert checked == len(goldens) >= 500
 
@@ -94,3 +97,39 @@ def test_fuzz_parity_both_engines():
                     f"IN : {d['text']!r}\nPY : {py.text!r}\n"
                     f"JS : {js[d['url']]['scrubbed']!r}"
                 )
+
+
+@pytest.mark.skipif(node is None, reason="node unavailable")
+def test_fuzz_parity_composed_production():
+    """App.tsx composition: worker harness -> effect harness --no-context,
+    maps merged JS-side semantics vs scrub_text_production."""
+    rng = random.Random(20260817)
+    docs = [{"url": str(i), "text": _random_doc(rng)} for i in range(300)]
+    here = Path(__file__).resolve().parent.parent / "tools"
+    p1 = subprocess.run(
+        [node, str(here / "scrub_worker_harness.mjs")], input=json.dumps(docs),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p1.returncode == 0, p1.stderr[:1000]
+    stage1 = {d["url"]: d for d in json.loads(p1.stdout)}
+    p2 = subprocess.run(
+        [node, str(here / "scrub_harness.mjs"), "--no-context"],
+        input=json.dumps(
+            [{"url": u, "text": d["scrubbed"]} for u, d in stage1.items()]
+        ),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p2.returncode == 0, p2.stderr[:1000]
+    stage2 = {d["url"]: d for d in json.loads(p2.stdout)}
+    for d in docs:
+        py = scrub_text_production(d["text"])
+        js_text = stage2[d["url"]]["scrubbed"]
+        js_merged = {
+            **stage1[d["url"]]["replacements"],
+            **stage2[d["url"]]["replacements"],
+        }
+        if py.text != js_text or py.replacements != js_merged:
+            pytest.fail(
+                f"composed mismatch on fuzz doc {d['url']}:\n"
+                f"IN : {d['text']!r}\nPY : {py.text!r}\nJS : {js_text!r}"
+            )

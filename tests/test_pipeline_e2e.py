@@ -8,20 +8,21 @@ from pyspark.sql import functions as F
 from scrubah_pii_spark.core.langid import heuristic_langid
 from scrubah_pii_spark.core.quality import simple_quality_score
 from scrubah_pii_spark.core.relevance import relevance_score
-from scrubah_pii_spark.core.scrub import scrub_text
+from scrubah_pii_spark.core.scrub import scrub_text, scrub_text_production
 from scrubah_pii_spark.plans.pipeline import lineage_table, run_pipeline
 
 CURRENT_YEAR = 2026
 
 
 def oracle_label(row) -> str:
-    """Pure-Python reference pipeline (the F1 oracle)."""
+    """Pure-Python reference pipeline (the F1 oracle) — production scrub
+    composition (App.tsx order), matching the pipeline default."""
     text = row["text"]
     lang_ok = heuristic_langid(text)[0] == "en"
     quality_ok = simple_quality_score(text).passed
     if not (lang_ok and quality_ok):
         return "discard"
-    scrubbed = scrub_text(text).text
+    scrubbed = scrub_text_production(text).text
     gen = max(0, CURRENT_YEAR - row["warc_ts"].year)
     return relevance_score(scrubbed, "", generation=gen).recommendation
 
@@ -49,7 +50,7 @@ class TestScrubParity:
             got = labeled_rows[r["url"]]
             if not got["gates_pass"]:
                 continue
-            expect = scrub_text(r["text"]).text
+            expect = scrub_text_production(r["text"]).text
             if got["scrubbed_text"] != expect:
                 mismatch.append((r["url"], r["doc_class"]))
         assert mismatch == [], f"{len(mismatch)} scrub mismatches: {mismatch[:3]}"
@@ -58,7 +59,28 @@ class TestScrubParity:
         for r in synth_rows:
             got = labeled_rows[r["url"]]
             if got["gates_pass"]:
-                assert got["pii_count"] == len(scrub_text(r["text"]).replacements)
+                assert got["pii_count"] == scrub_text_production(r["text"]).count
+
+    def test_effect_mode_flag(self, webpages):
+        """scrub_mode='effect' runs the reference's deterministic test
+        configuration (Effect cascade only) — byte-identical to scrub_text."""
+        import dataclasses
+
+        from scrubah_pii_spark.config import DEFAULT_PIPELINE_CONFIG
+
+        cfg = dataclasses.replace(
+            DEFAULT_PIPELINE_CONFIG,
+            scrub=dataclasses.replace(
+                DEFAULT_PIPELINE_CONFIG.scrub, scrub_mode="effect"
+            ),
+        )
+        res = run_pipeline(webpages, cfg=cfg)
+        rows = res.labeled.select("url", "gates_pass", "scrubbed_text").collect()
+        texts = {r["url"]: r for r in webpages.select("url", "text").collect()}
+        for r in rows:
+            if r["gates_pass"]:
+                assert r["scrubbed_text"] == scrub_text(texts[r["url"]]["text"]).text
+        res.labeled.unpersist()
 
 
 class TestKeepDrop:

@@ -38,6 +38,18 @@ def main(n: int = 500):
     proc_w.check_returncode()
     worker = {d["url"]: d for d in json.loads(proc_w.stdout)}
 
+    # composed production path (App.tsx:123-151): Effect pass (context
+    # detection OFF — the App.tsx second-pass config) over the WORKER output
+    composed_in = [
+        {"url": r["url"], "text": worker[r["url"]]["scrubbed"]} for r in rows
+    ]
+    proc_c = subprocess.run(
+        ["node", os.path.join(HERE, "scrub_harness.mjs"), "--no-context"],
+        input=json.dumps(composed_in), capture_output=True, text=True, timeout=600,
+    )
+    proc_c.check_returncode()
+    composed = {d["url"]: d for d in json.loads(proc_c.stdout)}
+
     goldens = {}
     for r in rows:
         url = r["url"]
@@ -49,6 +61,13 @@ def main(n: int = 500):
             "effect_count": e["count"],
             "worker_scrubbed_sha": hashlib.sha256(w["scrubbed"].encode()).hexdigest(),
             "worker_count": w["count"],
+            "composed_scrubbed_sha": hashlib.sha256(
+                composed[url]["scrubbed"].encode()
+            ).hexdigest(),
+            # merged map: worker first, Effect overrides (App.tsx spread)
+            "composed_count": len(
+                {**w["replacements"], **composed[url]["replacements"]}
+            ),
         }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:

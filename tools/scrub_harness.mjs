@@ -111,9 +111,11 @@ function scrub(text) {
   run("DATE", PII.DATE, "DATE");
   run("NAME", /\b[A-Z][a-z]{2,}\s+[A-Z][a-z]{2,}\b/g, "NAME");
   run("NAME", /\b(?:Dr|Mr|Ms|Mrs)\.?\s+[A-Z][a-z]{2,}\s+[A-Z][a-z]{2,}\b/g, "NAME");
-  run("ADDRESS", PII.ADDRESS, "ADDR");
-  run("CITY_STATE", PII.CITY_STATE, "CITY");
-  run("PO_BOX", PII.PO_BOX, "POBOX");
+  if (CONTEXT) {
+    run("ADDRESS", PII.ADDRESS, "ADDR");
+    run("CITY_STATE", PII.CITY_STATE, "CITY");
+    run("PO_BOX", PII.PO_BOX, "POBOX");
+  }
 
   // contextual MRN
   {
@@ -131,7 +133,7 @@ function scrub(text) {
     });
   }
   // labeled names
-  {
+  if (CONTEXT) {
     const labels = NAME_LABELS.map((l) => l.replace(/([.*+?^${}()|[\]\\])/g, "\\$1")).join("|");
     const re = new RegExp(`(${labels})[:\\s]+(?:(Dr\\.|Mr\\.|Ms\\.|Mrs\\.|Miss|Nurse)\\s+)?([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)+)`, "gi");
     const found = [];
@@ -151,6 +153,11 @@ function scrub(text) {
 
   return { scrubbed: t, replacements: repl, count: Object.keys(repl).length };
 }
+
+// --no-context: enableContextDetection=false (the App.tsx second-pass
+// config) — skips ADDRESS/CITY/POBOX + labeled names, mirrors
+// piiScrubber.effect.ts:570-575,:592-611 gates (contextual MRN always runs)
+const CONTEXT = !process.argv.includes("--no-context");
 
 let input = "";
 process.stdin.on("data", (d) => (input += d));
