@@ -816,11 +816,16 @@ FROM hashed
 
 
 def q_scrub_worker(spark, sf_dir):
-    """Worker-rule-set scrub (production engine; scrubber.worker.ts) over the
-    PII probe (non-vacuous). Rows-only: the worker's forward-order counters
-    interact across passes (e.g. an intermediate match can advance a
-    namespace counter), so the expected text is not constructible without
-    re-implementing the engine — goldens + JS parity gate it instead."""
+    """Worker-rule-set scrub (scrubber.worker.ts — first stage of the
+    App.tsx production composition) over a RESTRICTED probe built so every
+    worker pattern fires exactly once on exactly the intended span (the
+    technique pii_scrub uses): expected output is then a doc_id-derived
+    string, mirrored in SQL (oracles_sql.SQL_PII_SCRUB_WORKER). The worker's
+    forward-order counters advance on intermediate matches on arbitrary text
+    (e.g. INSURANCE_ID fires on prose like 'group <token>'), which is why
+    the probe is restricted; FULL worker semantics stay gated by the 500-doc
+    goldens + adversarial fuzz vs the native-JS harness
+    (tests/test_goldens.py)."""
     import pandas as pd
     from pyspark.sql.types import (
         IntegerType, StringType, StructField, StructType,
@@ -841,9 +846,9 @@ def q_scrub_worker(spark, sf_dir):
             "pii_count": [o.count for o in outs],
         })
 
-    from .oracles_sql import pii_probe_expr
+    from .oracles_sql import worker_probe_expr
 
-    df = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
+    df = _docs(spark, sf_dir).withColumn("probe", worker_probe_expr())
     return df.select("doc_id", worker_udf(F.col("probe")).alias("w")).select(
         "doc_id", F.col("w.scrubbed_text").alias("scrubbed_text"),
         F.col("w.pii_count").alias("pii_count"),
@@ -1408,6 +1413,7 @@ def oracle_map() -> dict:
         "lab_trend_summary": o2.sql_lab_trend_summary(),
         "multimodal_features": o2.SQL_MULTIMODAL,
         "pii_scrub": o2.SQL_PII_SCRUB,
+        "pii_scrub_worker": o2.SQL_PII_SCRUB_WORKER,
         "timeline_report": o2.sql_timeline_report(),
         "whitelist_extraction": o2.sql_whitelist_extraction(),
         "whitelist_timeline": o2.sql_whitelist_timeline(),

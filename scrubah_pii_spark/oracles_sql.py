@@ -1113,3 +1113,57 @@ SELECT
   CAST(sum(CASE WHEN t = 4 THEN 1 ELSE 0 END) AS BIGINT) AS stats_dx
 FROM p GROUP BY b
 """
+
+
+# --- worker scrub: RESTRICTED probe with a derivable expected output ---------
+# The worker engine's forward-order counters advance on intermediate matches
+# (e.g. INSURANCE_ID fires on plain prose like "group <token>"), so an
+# expected-output oracle over arbitrary text is not constructible. This probe
+# is RESTRICTED by construction: every worker pattern fires exactly once, on
+# exactly the intended span, and nothing fires on intermediate text —
+# verified empirically against BOTH engines (Python port and the native-JS
+# harness) for doc_id 0..499 before the SQL was written (NOTES_r3.md).
+# Full worker semantics stay gated by the 500-doc goldens + adversarial fuzz
+# (tests/test_goldens.py).
+
+
+def worker_probe_expr():
+    """Restricted worker-scrub probe as a Spark Column over doc_id."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    return F.concat(
+        F.lit("contact user"), s(d), F.lit("@example.com or call 555-"),
+        s(d % 900 + 100), F.lit("-"), s(d % 9000 + 1000),
+        F.lit(" now ssn "), s(d % 900 + 100), F.lit("-"), s(d % 90 + 10),
+        F.lit("-"), s((d * 3) % 9000 + 1000),
+        F.lit(" noted card 4111-1111-1111-"), s(d % 9000 + 1000),
+        F.lit(" on file zip "), s(d % 90000 + 10000),
+        F.lit(" here visited "), s(d % 12 + 1), F.lit("/"), s(d % 28 + 1),
+        F.lit("/2024 then left aged "), s(d % 80 + 18),
+        F.lit(" maybe. chart DOE, JANE noted. seen Smith, John today. "
+              "met Mary-Jane there. visit Boston, MA soon. "
+              "joined Henry Ford Jr today. moved to TX later near KODIAK "
+              "clinic. MRN: AB"), s((d * 7) % 9000 + 1000),
+        F.lit("CD charted. Patient Name: Carla Diaz was here. p.o. box "),
+        s(d % 90 + 10),
+        F.lit(" listed he lives at 12 oak street."),
+    )
+
+
+SQL_PII_SCRUB_WORKER = """
+SELECT doc_id,
+  'contact [EMAIL_1] or call [PHONE_1] now ssn [SSN_1] noted card [CARD_2]'
+  || ' on file zip [ZIP_3] here visited [DATE_1] then left [AGE_2] maybe.'
+  || ' chart [PER_1] noted. seen [PER_2] today. met [PER_3] there.'
+  || ' visit [LOC_3] soon. joined [PER_4] today.'
+  || ' moved to [STATE_4] later near [PER_5] clinic. MRN: [MRN_4] charted.'
+  || ' Patient Name: [PER_6] was here. [POBOX_2] listed he lives at [ADDR_1]'
+  AS scrubbed_text,
+  CAST(18 AS INT) AS pii_count
+FROM documents
+"""
