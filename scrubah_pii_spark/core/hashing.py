@@ -88,33 +88,56 @@ def fnv1a64_hex(s: str) -> str:
     return format(h, "016x")
 
 
-def fnv1a64_hex_batch(strings) -> list:
+def fnv1a64_hex_batch(strings, max_vectorized_len: int = 4096) -> list:
     """Vectorized FNV-1a-64 across a batch: pad code points into an (n, L)
     uint64 matrix, iterate character POSITIONS (not strings) updating the
     whole hash vector per step — O(max_len) numpy ops instead of
-    O(total_chars) Python ops. Bit-identical to fnv1a64_hex (uint64 wraps)."""
+    O(total_chars) Python ops. Bit-identical to fnv1a64_hex (uint64 wraps).
+
+    Robustness (the function is general-purpose, not just n-gram-sized):
+    strings longer than max_vectorized_len fall back to the scalar path, so
+    one long outlier can't inflate the whole batch's (n x max_len) matrix;
+    lone-surrogate strings (utf-32 encode fails where ord() succeeds) also
+    take the scalar path."""
     import numpy as np
 
     strs = [(s or "") for s in strings]
     n = len(strs)
     if n == 0:
         return []
-    lens = np.array([len(s) for s in strs], dtype=np.int64)
-    max_len = int(lens.max()) if n else 0
-    if max_len == 0:
-        return [format(_FNV_OFFSET, "016x")] * n
-    # utf-32-le bytes == raw code points (matches ord())
-    cp = np.zeros((n, max_len), dtype=np.uint64)
+    out: list = [None] * n
+    vec_idx, cps, lens_l = [], [], []
     for i, s in enumerate(strs):
+        if len(s) > max_vectorized_len:
+            out[i] = fnv1a64_hex(s)
+            continue
         if s:
-            cp[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    prime = np.uint64(_FNV_PRIME)
-    with np.errstate(over="ignore"):
-        for pos in range(max_len):
-            active = lens > pos
-            h[active] = (h[active] ^ cp[active, pos]) * prime
-    return [format(int(v), "016x") for v in h]
+            try:
+                cps.append(np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32))
+            except UnicodeEncodeError:
+                out[i] = fnv1a64_hex(s)  # lone surrogates: scalar ord() path
+                continue
+        else:
+            cps.append(np.empty(0, dtype=np.uint32))
+        vec_idx.append(i)
+        lens_l.append(len(s))
+    if vec_idx:
+        lens = np.array(lens_l, dtype=np.int64)
+        max_len = int(lens.max())
+        h = np.full(len(vec_idx), _FNV_OFFSET, dtype=np.uint64)
+        if max_len > 0:
+            cp = np.zeros((len(vec_idx), max_len), dtype=np.uint64)
+            for row, arr in enumerate(cps):
+                if len(arr):
+                    cp[row, : len(arr)] = arr
+            prime = np.uint64(_FNV_PRIME)
+            with np.errstate(over="ignore"):
+                for pos in range(max_len):
+                    active = lens > pos
+                    h[active] = (h[active] ^ cp[active, pos]) * prime
+        for row, i in enumerate(vec_idx):
+            out[i] = format(int(h[row]), "016x")
+    return out
 
 
 _NUM_RE = re.compile(r"\d+")

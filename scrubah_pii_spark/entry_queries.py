@@ -372,13 +372,17 @@ FROM d
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    from .operators.dedup import exact_jaccard_pairs
+    from .operators.dedup import exact_jaccard_pairs_prefix
 
     df = _docs(spark, sf_dir)
     # threshold 0.85 is the reference's dedup rule
     # (compressionPipeline.effect.ts:189-227); lower thresholds make the
     # OUTPUT itself quadratic in corpus size (0.5 emitted 9M rows at sf0.1).
-    pairs = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.85)
+    # Production path: AllPairs prefix filtering — identical pairs to the
+    # naive definition (the DuckDB oracle IS the naive definition, so this
+    # query hash-proves the equivalence every round); the word join explodes
+    # only rarest-prefix tokens, bounding hot-key fan-out.
+    pairs = exact_jaccard_pairs_prefix(df, "text", "doc_id", threshold=0.85)
     return pairs.select(
         F.col("id_a").alias("id_a"),
         F.col("id_b").alias("id_b"),

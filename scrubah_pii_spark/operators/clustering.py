@@ -117,12 +117,12 @@ def lsh_semantic_clusters(
     def cluster_bucket(pdf):
         import math
 
+        import numpy as np
         import pandas as pd
 
         ids = pdf[id_col].tolist()
         vecs = [list(v) for v in pdf[vec_col]]
         n = len(ids)
-        norms = [math.sqrt(_fold_dot(v, v)) for v in vecs]
         parent = list(range(n))
 
         def find(i):
@@ -131,16 +131,35 @@ def lsh_semantic_clusters(
                 i = parent[i]
             return i
 
+        def _exact_cos(a, b):
+            na, nb = math.sqrt(_fold_dot(a, a)), math.sqrt(_fold_dot(b, b))
+            d = na * nb
+            return _fold_dot(a, b) / d if d > 0 else 0.0
+
+        # numpy gram matrix for the O(n^2) candidate scan (a hot bucket of
+        # 10k vectors is ~50M pure-Python folds otherwise — a multi-minute
+        # straggler); pairs within 1e-9 of the threshold are re-decided with
+        # the exact sequential fold, keeping bit-parity with the expression
+        # path / DuckDB oracle (same pattern as lsh_cosine_pairs_fast).
         has_edge = [False] * n
-        for i in range(n):
-            for j in range(i + 1, n):
-                d = norms[i] * norms[j]
-                cos = _fold_dot(vecs[i], vecs[j]) / d if d > 0 else 0.0
-                if cos >= threshold:
-                    has_edge[i] = has_edge[j] = True
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[ri] = rj
+        if n >= 2:
+            V = np.array(vecs, dtype=np.float64)
+            norms_v = np.sqrt((V * V).sum(axis=1))
+            denom = np.outer(norms_v, norms_v)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, (V @ V.T) / denom, 0.0)
+            iu, ju = np.triu_indices(n, k=1)
+            cos = C[iu, ju]
+            cand = cos >= threshold - 1e-9
+            for i, j, c in zip(iu[cand], ju[cand], cos[cand]):
+                if abs(c - threshold) < 1e-9:
+                    c = _exact_cos(vecs[i], vecs[j])
+                if c < threshold:
+                    continue
+                has_edge[i] = has_edge[j] = True
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
         comp_min = {}
         for i in range(n):
             if has_edge[i]:

@@ -283,6 +283,111 @@ def analyze_near_duplicates_bucketed(
     )
 
 
+def exact_jaccard_pairs_prefix(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.85, min_word_len: int = 3,
+) -> DataFrame:
+    """Production-scale exact Jaccard pairs >= threshold via PREFIX FILTERING
+    (the AllPairs/PPJoin family — Bayardo et al., WWW'07; public technique):
+    results are IDENTICAL to exact_jaccard_pairs (pytest-proven), but the
+    word join explodes only each distinct set's PREFIX — its rarest
+    p = |s| - floor(t*|s|) + 1 words under the global (document-frequency,
+    word) order — instead of every word.
+
+    Why this de-quadratics the hot keys: a pair with J >= t must share at
+    least one prefix token (if a's prefix misses b entirely, the
+    intersection fits in a's suffix: |a^b| <= |a| - p < t*|a| <= t*|a u b|
+    — contradiction). High-document-frequency words sort to the END of every
+    set, so they appear in a prefix only for sets that consist almost
+    entirely of frequent words; per-word join fan-out is bounded by the
+    number of sets whose PREFIX contains the word, not the word's raw
+    document frequency. (floor(t*|s|)+1 is used instead of the tight
+    ceil(t*|s|) to stay safe under IEEE rounding of t*|s| — one extra prefix
+    token, never a recall loss.)
+
+    Like exact_jaccard_pairs, identical word sets collapse to one
+    representative group before any join (set-identity dedup — a superset of
+    exact text dedup after normalization), so duplicate-heavy corpora cost
+    O(distinct sets), and within-group pairs emit at jaccard 1.0 directly."""
+    wordsets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: F.length(w) > min_word_len,
+                )
+            )
+        ).alias("ws"),
+    ).withColumn("fp", F.md5(F.concat_ws("\x1f", "ws")))
+
+    groups = wordsets.groupBy("fp").agg(
+        F.collect_list("_id").alias("members"),
+        F.first("ws").alias("ws"),
+        F.size(F.first("ws")).alias("sz"),
+    ).persist()
+
+    m = groups.filter(F.col("sz") > 0).select(F.explode("members").alias("id_x"), "fp")
+    within = (
+        m.alias("a")
+        .join(m.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id_x") < F.col("b.id_x")))
+        .select(
+            F.col("a.id_x").alias("id_a"),
+            F.col("b.id_x").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # global word document-frequency over DISTINCT sets -> rarest-first order
+    words = groups.select("fp", "sz", F.explode("ws").alias("word"))
+    wdf = words.groupBy("word").agg(F.count("*").alias("wdf"))
+    ranked = words.join(wdf, "word").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy("wdf", "word")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+    ).select("fp", "word")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.word") == F.col("b.word")) & (F.col("a.fp") < F.col("b.fp")))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    ga = groups.select(
+        F.col("fp").alias("fp_a"), F.col("ws").alias("ws_a"),
+        F.col("sz").alias("sz_a"), F.col("members").alias("members_a"),
+    )
+    gb = groups.select(
+        F.col("fp").alias("fp_b"), F.col("ws").alias("ws_b"),
+        F.col("sz").alias("sz_b"), F.col("members").alias("members_b"),
+    )
+    verified = (
+        cand.join(ga, "fp_a").join(gb, "fp_b")
+        .withColumn("inter", F.size(F.array_intersect("ws_a", "ws_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cross = (
+        verified.select(F.explode("members_a").alias("id_x"), "members_b", "jaccard")
+        .select("id_x", F.explode("members_b").alias("id_y"), "jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
 def dedup_verdicts_fused(
     slim: DataFrame,
     url_col: str = "url",

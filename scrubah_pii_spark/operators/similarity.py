@@ -77,15 +77,14 @@ def hyperplane_signature(vec: Column, planes: list) -> Column:
 
 
 def lsh_bucketed_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    corpus: DataFrame, queries: DataFrame, k: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, dim: int | None = None, seed: int = 42,
+    n_planes: int = 8, *, dim: int, seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: exact ranking within the query's hyperplane bucket.
     2^n_planes buckets; recall tunable via n_planes (fewer planes = bigger
-    buckets = higher recall & cost)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    buckets = higher recall & cost). `dim` is required — no driver-side data
+    probe ever runs inside an operator."""
     planes = _planes(dim, n_planes, seed)
     c = corpus.withColumn("_sig", hyperplane_signature(F.col(vec_col), planes)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "_sig"

@@ -201,6 +201,14 @@ def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
     a substring of any kept one. Sequential by specification; the corpus is
     dimension-sized, so this is a driver-side fold like the reference's."""
     spark = corpus.sparkSession
+    # the corpus is dimension-sized by construction (template threshold is a
+    # FRACTION of docs); guard BEFORE collecting so a misconfigured
+    # threshold can't pull an unbounded frame onto the driver
+    n_corpus = corpus.limit(100_001).count()
+    assert n_corpus <= 100_000, (
+        f"template corpus unexpectedly large (>{n_corpus - 1} rows) — "
+        "check template_threshold/min_docs_for_template"
+    )
     rows = corpus.orderBy(
         F.desc("ngram_size"), F.desc("doc_count"), F.asc("hash")
     ).collect()
@@ -225,7 +233,16 @@ def strip_ngram_templates(
     (broadcast, dimension-sized) corpus, mark covered lines from ALL matches,
     keep non-overlapping refs (sort by line_start; on overlap keep the larger
     end — :397-430), emit unique lines + stripped text + lineage columns
-    (template_refs, unique_lines) sufficient for exact reconstruction.
+    (template_refs, unique_lines).
+
+    Reconstruction caveat (mirrors the reference's own behavior): covered
+    lines come from ALL matches while refs keep only the overlap-deduped
+    subset, so when overlap dedup replaces a kept ref with a later
+    larger-end match, the replaced ref's leading lines are stripped yet
+    appear in no kept ref — reconstruct_ngram_documents cannot restore them
+    (tests/test_template_ngram.py::test_overlap_replacement_known_lossy
+    documents the case). Round-trip identity holds whenever kept refs cover
+    all stripped lines — the common no-overlap-replacement case.
 
     Spark shape: one hash join (broadcast corpus), one explode for the
     covered-line bitmap, one anti-join for unique lines — no pair joins, no

@@ -154,3 +154,26 @@ class TestDatesAndDocType:
         assert detect_document_type("", "biopsy specimen received") == "pathology"
         assert detect_document_type("note.pdf", "SOAP assessment") == "progress_note"
         assert detect_document_type("", "just text") == "unknown"
+
+
+class TestFnvBatchRobustness:
+    def test_long_outlier_falls_back_scalar(self):
+        from scrubah_pii_spark.core.hashing import fnv1a64_hex, fnv1a64_hex_batch
+
+        batch = ["short one", "x" * 10_000, "", "another short"]
+        assert fnv1a64_hex_batch(batch) == [fnv1a64_hex(s) for s in batch]
+
+    def test_lone_surrogate_falls_back_scalar(self):
+        from scrubah_pii_spark.core.hashing import fnv1a64_hex, fnv1a64_hex_batch
+
+        s = "bad \ud800 surrogate"
+        assert fnv1a64_hex_batch([s, "plain"]) == [
+            fnv1a64_hex(s), fnv1a64_hex("plain")
+        ]
+
+    def test_mixed_lengths_bit_identical(self):
+        from scrubah_pii_spark.core.hashing import fnv1a64_hex, fnv1a64_hex_batch
+
+        batch = ["", "a", "ab" * 50, None, "unicode é中文"]
+        got = fnv1a64_hex_batch(batch)
+        assert got == [fnv1a64_hex(s or "") for s in batch]

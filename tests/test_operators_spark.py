@@ -44,6 +44,14 @@ class TestJaccardPairs:
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in exact_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.3).collect()
         }
+        from scrubah_pii_spark.operators.dedup import exact_jaccard_pairs_prefix
+
+        prefix_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in exact_jaccard_pairs_prefix(
+                docs_df, "text", "doc_id", threshold=0.3
+            ).collect()
+        }
         rows = docs_df.collect()
         texts = {r["doc_id"]: r["text"] for r in rows}
         for a in texts:
@@ -56,6 +64,31 @@ class TestJaccardPairs:
                     assert abs(pairs[(a, b)] - j) < 1e-9
                 else:
                     assert (a, b) not in pairs
+        # the prefix-filtered production variant is pair-for-pair identical
+        assert prefix_pairs == pairs
+
+    def test_prefix_variant_identical_on_corpus(self, spark, webpages):
+        """AllPairs prefix filtering == naive definition on the 200-doc
+        synthetic corpus at the reference threshold and a loose one."""
+        from scrubah_pii_spark.operators.dedup import (
+            exact_jaccard_pairs,
+            exact_jaccard_pairs_prefix,
+        )
+
+        for t in (0.85, 0.5):
+            naive = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs(
+                    webpages, "text", "url", threshold=t
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs_prefix(
+                    webpages, "text", "url", threshold=t
+                ).collect()
+            }
+            assert pref == naive, f"threshold {t}: {len(pref)} vs {len(naive)}"
 
 
 class TestMinHash:
