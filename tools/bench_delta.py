@@ -11,9 +11,22 @@ import json
 import sys
 
 
+def _load(path: str) -> dict:
+    """Accept either a raw bench JSON line or the driver's BENCH_r{N}.json
+    wrapper (bench record embedded as the last JSON line of 'tail')."""
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    for line in reversed(d.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise ValueError(f"no bench record found in {path}")
+
+
 def main(old_path: str, new_path: str):
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    old = _load(old_path)
+    new = _load(new_path)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     rows = []
     for name in sorted(set(oq) | set(nq)):
