@@ -65,14 +65,24 @@ def main():
         "queries": timings,
         "sf": SF_DIR,
         "cpus": int(CPUS),
-        "rows": rows,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         out["scaling"] = run_scaling()
 
     spark.stop()
-    print(json.dumps(out))
+    # Round-3 verdict: the headline line outgrew the driver's tail capture
+    # (parsed=null). Keep the stdout line short and compact; the per-query
+    # row counts go to stderr and a sidecar file instead of the headline.
+    print("## rows: " + json.dumps(rows, separators=(",", ":")),
+          file=sys.stderr, flush=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH", "rows_latest.json"), "w") as f:
+            json.dump(rows, f, separators=(",", ":"))
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 def run_scaling(n_docs: int = 600000):

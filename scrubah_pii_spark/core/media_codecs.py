@@ -1,0 +1,199 @@
+"""Pure-Python media codecs for the multimodal column family.
+
+Round-3 verdict item #8: replace the hash stand-in with at least one REAL
+codec branch. This container has no PIL/librosa/ffmpeg, but two formats are
+fully decodable with nothing but `struct` and byte arithmetic:
+
+- WAV (RIFF little-endian, uncompressed PCM, 8-bit unsigned / 16-bit signed)
+- PPM / PGM binary (netpbm P6 / P5, maxval <= 255)
+
+Both formats are public specs (RIFF/WAVE: Microsoft/IBM 1991 multimedia
+programming spec; netpbm: the pbmplus man pages). Decoders are deliberately
+strict — a payload whose magic matches but whose structure doesn't parse
+raises, and the operator's per-row try/except turns that into the `error`
+column (reference continueOnError semantics).
+
+Feature definitions use EXACT integer sums before a single final division so
+a DuckDB oracle can reproduce them bit-for-bit in closed form:
+- WAV:  centered sample c_i = v_i - 128 (8-bit) or v_i (16-bit), full-scale
+        S = 128 or 32768; features = [sum(c)/(S*n), sqrt(sum(c^2)/(S^2*n))]
+        (mean, RMS of the normalized signal), duration_ms = n*1000 // rate.
+- PPM:  features = per-channel [sum(ch)/(maxval*n_px)] for r, g, b.
+- PGM:  features = [sum(v)/(maxval*n_px)].
+Every intermediate is an exact integer; the one division and the sqrt are
+single IEEE ops, identical in Python and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+
+class MediaDecodeError(ValueError):
+    pass
+
+
+# --- WAV ---------------------------------------------------------------------
+
+
+def encode_wav(samples: list[int], rate: int = 8000, bits: int = 8) -> bytes:
+    """Minimal mono PCM WAV writer (test/synthesis helper; RIFF+fmt+data)."""
+    if bits == 8:
+        frames = bytes(s & 0xFF for s in samples)
+    elif bits == 16:
+        frames = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = bits // 8
+    byte_rate = rate * block_align
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, byte_rate, block_align, bits
+    )
+    data = struct.pack("<4sI", b"data", len(frames)) + frames
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE PCM, return codec metadata + exact-arithmetic
+    features [normalized mean, normalized RMS]."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    frames = None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise MediaDecodeError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise MediaDecodeError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            frames = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise MediaDecodeError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise MediaDecodeError(f"unsupported (non-PCM) format {audio_format}")
+    if channels != 1:
+        raise MediaDecodeError(f"only mono supported, got {channels}")
+    if rate <= 0:
+        raise MediaDecodeError("bad sample rate")
+    if bits == 8:
+        vals = list(frames)
+        centered = [v - 128 for v in vals]
+        scale = 128
+    elif bits == 16:
+        n = len(frames) // 2
+        centered = list(struct.unpack_from(f"<{n}h", frames, 0))
+        scale = 32768
+    else:
+        raise MediaDecodeError(f"unsupported bit depth {bits}")
+    n = len(centered)
+    if n == 0:
+        raise MediaDecodeError("empty data chunk")
+    s = sum(centered)            # exact int
+    s2 = sum(c * c for c in centered)  # exact int
+    return {
+        "codec": "wav",
+        "width": None,
+        "height": None,
+        "duration_ms": n * 1000 // rate,
+        "features": [s / (scale * n), math.sqrt(s2 / (scale * scale * n))],
+    }
+
+
+# --- netpbm (PPM P6 / PGM P5) ------------------------------------------------
+
+
+def encode_ppm(pixels: bytes, width: int, height: int, maxval: int = 255) -> bytes:
+    """Minimal binary PPM (P6) writer: pixels = w*h*3 raw RGB bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + pixels
+
+
+def encode_pgm(pixels: bytes, width: int, height: int, maxval: int = 255) -> bytes:
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer size mismatch")
+    return f"P5\n{width} {height}\n{maxval}\n".encode("ascii") + pixels
+
+
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Return (magic, width, height, maxval, data_offset). Handles netpbm
+    whitespace/comment rules: tokens separated by whitespace, '#' comments
+    to end-of-line, single whitespace byte after maxval before raster."""
+    magic = payload[:2].decode("ascii", "replace")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise MediaDecodeError("truncated netpbm header")
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise MediaDecodeError(f"bad header byte {c!r}")
+    if pos >= len(payload) or payload[pos : pos + 1] not in b" \t\r\n":
+        raise MediaDecodeError("missing whitespace after maxval")
+    pos += 1
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        raise MediaDecodeError(f"bad dimensions {w}x{h} maxval={maxval}")
+    return magic, w, h, maxval, pos
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """Parse binary PPM (P6) / PGM (P5); features = exact per-channel means
+    normalized by maxval."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise MediaDecodeError("not a binary netpbm payload")
+    _, w, h, maxval, off = _parse_pnm_header(payload)
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    raster = payload[off : off + need]
+    if len(raster) < need:
+        raise MediaDecodeError(
+            f"truncated raster: need {need}, have {len(raster)}"
+        )
+    n_px = w * h
+    feats = []
+    for c in range(channels):
+        s = sum(raster[c::channels])  # exact int
+        feats.append(s / (maxval * n_px))
+    return {
+        "codec": "ppm" if channels == 3 else "pgm",
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+        "features": feats,
+    }
+
+
+# --- dispatch ----------------------------------------------------------------
+
+
+def detect_and_decode(payload: bytes) -> dict | None:
+    """Magic-byte dispatch. Returns the decode dict for a recognized format,
+    None for unrecognized payloads (caller falls back to the hash stand-in).
+    A RECOGNIZED but malformed payload raises MediaDecodeError — the
+    operator's per-row error column, not silent fallback."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_pnm(payload)
+    return None

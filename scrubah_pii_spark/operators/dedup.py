@@ -286,6 +286,7 @@ def analyze_near_duplicates_bucketed(
 def exact_jaccard_pairs_prefix(
     df: DataFrame, text_col: str, id_col: str,
     threshold: float = 0.85, min_word_len: int = 3,
+    expand_groups: bool = True,
 ) -> DataFrame:
     """Production-scale exact Jaccard pairs >= threshold via PREFIX FILTERING
     (the AllPairs/PPJoin family — Bayardo et al., WWW'07; public technique):
@@ -308,7 +309,18 @@ def exact_jaccard_pairs_prefix(
     Like exact_jaccard_pairs, identical word sets collapse to one
     representative group before any join (set-identity dedup — a superset of
     exact text dedup after normalization), so duplicate-heavy corpora cost
-    O(distinct sets), and within-group pairs emit at jaccard 1.0 directly."""
+    O(distinct sets), and within-group pairs emit at jaccard 1.0 directly.
+
+    expand_groups=True (the reference's pair semantics,
+    compressionPipeline.effect.ts:189-227) materializes every member pair —
+    the *computation* is linear in distinct sets but the *output* is
+    quadratic in duplicate-group size (a 1M-doc duplicate group emits 5e11
+    rows). expand_groups=False is the production dedup form: per
+    identical-set group emit (representative=min(id), member, 1.0) edges —
+    m-1 rows instead of m(m-1)/2 — and one (rep_a, rep_b, jaccard) edge per
+    qualifying DISTINCT-set pair. The full pair list is recoverable with
+    expand_jaccard_group_edges (pytest proves expansion == pairs), so no
+    information is lost; output is linear in distinct sets + group sizes."""
     wordsets = df.select(
         F.col(id_col).alias("_id"),
         F.array_sort(
@@ -327,16 +339,28 @@ def exact_jaccard_pairs_prefix(
         F.size(F.first("ws")).alias("sz"),
     ).persist()
 
-    m = groups.filter(F.col("sz") > 0).select(F.explode("members").alias("id_x"), "fp")
-    within = (
-        m.alias("a")
-        .join(m.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id_x") < F.col("b.id_x")))
-        .select(
-            F.col("a.id_x").alias("id_a"),
-            F.col("b.id_x").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
+    if expand_groups:
+        m = groups.filter(F.col("sz") > 0).select(F.explode("members").alias("id_x"), "fp")
+        within = (
+            m.alias("a")
+            .join(m.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id_x") < F.col("b.id_x")))
+            .select(
+                F.col("a.id_x").alias("id_a"),
+                F.col("b.id_x").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
         )
-    )
+    else:
+        # group edges: representative -> member, no self-join, m-1 rows/group
+        within = (
+            groups.filter((F.col("sz") > 0) & (F.size("members") > 1))
+            .select(
+                F.array_min("members").alias("id_a"),
+                F.explode("members").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .withColumn("jaccard", F.lit(1.0))
+        )
 
     # global word document-frequency over DISTINCT sets -> rarest-first order
     words = groups.select("fp", "sz", F.explode("ws").alias("word"))
@@ -376,12 +400,67 @@ def exact_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    cross = (
-        verified.select(F.explode("members_a").alias("id_x"), "members_b", "jaccard")
-        .select("id_x", F.explode("members_b").alias("id_y"), "jaccard")
+    if expand_groups:
+        cross = (
+            verified.select(F.explode("members_a").alias("id_x"), "members_b", "jaccard")
+            .select("id_x", F.explode("members_b").alias("id_y"), "jaccard")
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+                "jaccard",
+            )
+        )
+    else:
+        # one representative->representative edge per distinct-set pair;
+        # distinct sets can't reach jaccard 1.0, so 1.0 edges below are
+        # exactly the within-group edges (expansion stays unambiguous)
+        ra, rb = F.array_min("members_a"), F.array_min("members_b")
+        cross = verified.select(
+            F.least(ra, rb).alias("id_a"),
+            F.greatest(ra, rb).alias("id_b"),
+            "jaccard",
+        )
+    return within.unionByName(cross)
+
+
+def expand_jaccard_group_edges(edges: DataFrame) -> DataFrame:
+    """Inverse of exact_jaccard_pairs_prefix(expand_groups=False): rebuild
+    the full member-pair list from bounded group edges. 1.0 edges are
+    rep->member identical-set membership (distinct word sets cannot reach
+    jaccard 1.0); <1.0 edges connect group representatives, and every member
+    of one group has the same jaccard to every member of the other because
+    their word sets are identical. Used by pytest to prove
+    expansion(group_edges) == exact_jaccard_pairs_prefix(expand_groups=True);
+    production dedup consumes the bounded edges directly and never expands."""
+    ones = edges.filter(F.col("jaccard") == 1.0)
+    mem = (
+        ones.select(F.col("id_a").alias("rep"), F.col("id_b").alias("member"))
+        .unionByName(ones.select(F.col("id_a").alias("rep"), F.col("id_a").alias("member")))
+        .distinct()
+    )
+    within = (
+        mem.alias("a")
+        .join(mem.alias("b"), "rep")
+        .filter(F.col("a.member") < F.col("b.member"))
         .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
+            F.col("a.member").alias("id_a"),
+            F.col("b.member").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross edges: map each endpoint rep to its full member set (singleton
+    # groups have no 1.0 edges -> coalesce to the rep itself)
+    ma = mem.select(F.col("rep").alias("id_a"), F.col("member").alias("_ma"))
+    mb = mem.select(F.col("rep").alias("id_b"), F.col("member").alias("_mb"))
+    cross = (
+        edges.filter(F.col("jaccard") < 1.0)
+        .join(ma, "id_a", "left")
+        .withColumn("_ma", F.coalesce("_ma", F.col("id_a")))
+        .join(mb, "id_b", "left")
+        .withColumn("_mb", F.coalesce("_mb", F.col("id_b")))
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
             "jaccard",
         )
     )

@@ -5,7 +5,7 @@ structuredExtraction.ts semantics via core.extraction)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -73,7 +73,12 @@ def lab_trends(
     """Lab trend classification (structuredExtraction.effect.ts:562-631):
     per test, order by time, classify INCREASING / DECREASING / STABLE (<5%)
     / FLUCTUATING (max swing > 1.5x |first-last delta|) / INSUFFICIENT_DATA.
-    Expressed with explode + window aggregates (no driver loops)."""
+
+    One map-side-combinable groupBy exchange: first/last-by-time are
+    min_by/max_by on the (ts, id) ordering key. The previous
+    Window.partitionBy("test") form funneled every row of a test onto one
+    task (test cardinality ~23 => parallelism 23 + skew at scale); plain
+    aggregates partial-combine on the map side instead."""
     labs = df.select(
         F.col(id_col), F.col(ts_col).alias("_ts"), F.explode("labs").alias("lab")
     ).select(
@@ -81,27 +86,13 @@ def lab_trends(
         F.col("lab.test").alias("test"),
         F.col("lab.value").alias("value"),
     )
-    w = Window.partitionBy("test")
-    ordered = Window.partitionBy("test").orderBy("_ts", id_col)
-    stats = (
-        labs.withColumn("first_v", F.first("value").over(ordered))
-        .withColumn(
-            "last_v",
-            F.last("value").over(
-                ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-        .withColumn("n", F.count("*").over(w))
-        .withColumn("min_v", F.min("value").over(w))
-        .withColumn("max_v", F.max("value").over(w))
-        .groupBy("test")
-        .agg(
-            F.first("n").alias("n"),
-            F.first("first_v").alias("first_v"),
-            F.first("last_v").alias("last_v"),
-            F.first("min_v").alias("min_v"),
-            F.first("max_v").alias("max_v"),
-        )
+    order_key = F.struct(F.col("_ts"), F.col(id_col))
+    stats = labs.groupBy("test").agg(
+        F.count("*").alias("n"),
+        F.min_by("value", order_key).alias("first_v"),
+        F.max_by("value", order_key).alias("last_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
     )
     delta = F.col("last_v") - F.col("first_v")
     pct = F.when(F.col("first_v") != 0, F.abs(delta) / F.abs(F.col("first_v")) * 100)

@@ -39,6 +39,10 @@ MEDIA_FEATURES_TYPE = StructType(
     [
         StructField("sha256", StringType()),
         StructField("byte_len", IntegerType()),
+        StructField("codec", StringType()),       # wav | ppm | pgm | hash
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
         StructField("features", ArrayType(FloatType())),  # decode-derived
         StructField("error", StringType()),
     ]
@@ -46,9 +50,11 @@ MEDIA_FEATURES_TYPE = StructType(
 
 
 def _decode_stub(payload: bytes) -> list:
-    """Deterministic fake 'decoder': 8 floats derived from the content hash.
-    Replace with PIL/librosa/ffmpeg feature extraction in a real deployment —
-    only this function changes; the Spark plumbing stays identical."""
+    """Deterministic fallback 'decoder' for unrecognized formats: 8 floats
+    derived from the content hash. Recognized formats (WAV PCM, PPM/PGM —
+    see core.media_codecs) take the REAL decode branch instead; swap in
+    PIL/librosa/ffmpeg for the rest in a real deployment — only the dispatch
+    changes; the Spark plumbing stays identical."""
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:8]]
 
@@ -56,7 +62,12 @@ def _decode_stub(payload: bytes) -> list:
 def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction: partition-preserving, Arrow-batched,
     per-executor decoder init (here a no-op), per-row try/except -> error
-    column (never task failure; reference continueOnError semantics)."""
+    column (never task failure; reference continueOnError semantics).
+    WAV/PPM/PGM payloads are REALLY decoded (pure-Python codecs,
+    core.media_codecs); anything else gets the deterministic hash stand-in
+    with codec='hash'."""
+    from ..core.media_codecs import detect_and_decode
+
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != payload_col]
         + [StructField("media", MEDIA_FEATURES_TYPE)]
@@ -67,21 +78,23 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
         for pdf in batches:
             medias = []
             for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                base = {
+                    "sha256": hashlib.sha256(raw).hexdigest(),
+                    "byte_len": len(raw),
+                    "codec": None, "width": None, "height": None,
+                    "duration_ms": None, "features": None, "error": None,
+                }
                 try:
-                    raw = bytes(payload) if payload is not None else b""
-                    medias.append(
-                        {
-                            "sha256": hashlib.sha256(raw).hexdigest(),
-                            "byte_len": len(raw),
-                            "features": _decode_stub(raw),
-                            "error": None,
-                        }
-                    )
-                except Exception as e:  # pragma: no cover
-                    medias.append(
-                        {"sha256": None, "byte_len": None, "features": None,
-                         "error": str(e)}
-                    )
+                    decoded = detect_and_decode(raw)
+                    if decoded is None:
+                        base["codec"] = "hash"
+                        base["features"] = _decode_stub(raw)
+                    else:
+                        base.update(decoded)
+                except Exception as e:
+                    base["error"] = str(e)
+                medias.append(base)
             out = pdf[passthrough].copy()
             out["media"] = medias
             yield out

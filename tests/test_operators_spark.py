@@ -90,6 +90,49 @@ class TestJaccardPairs:
             }
             assert pref == naive, f"threshold {t}: {len(pref)} vs {len(naive)}"
 
+    def test_group_edges_expand_to_pairs(self, spark, webpages):
+        """Bounded group-edge output (expand_groups=False) loses nothing:
+        expand_jaccard_group_edges(edges) == the full pair list, on a corpus
+        with duplicate-heavy identical-set groups, at two thresholds."""
+        from scrubah_pii_spark.operators.dedup import (
+            exact_jaccard_pairs_prefix,
+            expand_jaccard_group_edges,
+        )
+
+        # stack extra identical-set copies on top of the 200-doc corpus so
+        # group expansion is actually exercised (m=5 group -> 10 pairs)
+        base = webpages.select("url", "text")
+        dup_src = base.limit(2)
+        extra = None
+        for i in range(4):
+            c = dup_src.select(
+                F.concat(F.col("url"), F.lit(f"#copy{i}")).alias("url"), "text"
+            )
+            extra = c if extra is None else extra.unionByName(c)
+        corpus = base.unionByName(extra)
+
+        for t in (0.85, 0.5):
+            edges_df = exact_jaccard_pairs_prefix(
+                corpus, "text", "url", threshold=t, expand_groups=False
+            )
+            edges = edges_df.collect()
+            pairs = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs_prefix(
+                    corpus, "text", "url", threshold=t
+                ).collect()
+            }
+            expanded = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in expand_jaccard_group_edges(edges_df).collect()
+            }
+            assert expanded == pairs, f"threshold {t}"
+            # bounded form really is smaller on duplicate-heavy corpora
+            assert len(edges) < len(pairs)
+            # group edges: rep is the min member, 1.0 edges only within-group
+            for r in edges:
+                assert r["id_a"] < r["id_b"]
+
 
 class TestMinHash:
     def test_identical_docs_estimate_one(self, spark):
