@@ -182,9 +182,14 @@ def make_doc_features_udf(
 
     @F.pandas_udf(DOC_FEATURES_TYPE)
     def doc_features_udf(texts: pd.Series, generations: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            _doc_features_batch(texts, generations, langs, min_quality, scrub_mode)
-        )
+        data = _doc_features_batch(texts, generations, langs, min_quality, scrub_mode)
+        df = pd.DataFrame({k: v for k, v in data.items() if k != "simhash"})
+        # nullable Int64, NOT pd.DataFrame's inferred dtype: a python list
+        # mixing int and None infers float64, which silently truncates
+        # int64 simhashes past 2^53 — and only in batches that contain a
+        # gated (None) doc, so values depended on batch composition
+        df["simhash"] = pd.array(data["simhash"], dtype="Int64")
+        return df
 
     return doc_features_udf
 

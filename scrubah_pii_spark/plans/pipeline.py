@@ -55,13 +55,19 @@ def _host(url_col):
     return F.regexp_extract(url_col, r"https?://([^/]+)/", 1)
 
 
-def run_pipeline(
+def label_stage(
     df: DataFrame,
     cfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG,
     use_crawl_lang: bool = False,
     with_perplexity: bool = True,
-) -> PipelineResult:
-    """df: (url, warc_ts, html, text?, lang?) — the input-hint table."""
+) -> DataFrame:
+    """Per-document half of the pipeline: extract -> fused scoring/scrub ->
+    gates -> doc typing. Every column is a row-local function of the input
+    row, so this stage can run over ANY subset of the corpus and union to
+    the same rows — that row-locality is what makes per-partition
+    checkpoint-resume (plans.resume) byte-identical to a single run. The
+    corpus-global half (dedup, leak check, sinks) lives in
+    finish_pipeline."""
     spark = df.sparkSession
 
     # -- extract (html -> text); column-prune drops html immediately after.
@@ -141,6 +147,21 @@ def run_pipeline(
         "doc_type", doc_type_expr(F.lit(""), F.coalesce("scrubbed_text", F.lit("")))
     )
 
+    # Drop the raw/extracted text copies: everything downstream (dedup,
+    # output, metrics, lineage) reads scrubbed_text only, and keeping three
+    # ~equal-size text copies per row triples cache and shuffle volume.
+    return df.drop("extracted_text", "text")
+
+
+def run_pipeline(
+    df: DataFrame,
+    cfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG,
+    use_crawl_lang: bool = False,
+    with_perplexity: bool = True,
+) -> PipelineResult:
+    """df: (url, warc_ts, html, text?, lang?) — the input-hint table."""
+    df = label_stage(df, cfg, use_crawl_lang, with_perplexity)
+
     # Stage barrier: persist the fully-labeled frame. Two reasons:
     #  (1) dedup, output, metrics and lineage all consume it — without the
     #      barrier Spark recomputes extract+scrub+score once per sink;
@@ -148,13 +169,19 @@ def run_pipeline(
     #      expression trees through the dedup joins/windows during filter
     #      pushdown — plan size stays linear in stages. At cluster scale this
     #      barrier is the natural stage-materialization point (MEMORY_AND_DISK
-    #      spills; a production run can swap it for a parquet stage write).
-    # Drop the raw/extracted text copies before the barrier: everything
-    # downstream (dedup, output, metrics, lineage) reads scrubbed_text only,
-    # and keeping three ~equal-size text copies per row triples cache and
-    # shuffle volume.
-    df = df.drop("extracted_text", "text")
+    #      spills; plans.resume swaps it for a manifest-tracked parquet stage
+    #      write, which is also the checkpoint-resume boundary).
     labeled = df.persist()
+    return finish_pipeline(labeled, cfg)
+
+
+def finish_pipeline(
+    labeled: DataFrame, cfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG
+) -> PipelineResult:
+    """Corpus-global half: dedup verdicts, leak check, partitioned output +
+    metrics. `labeled` is the label_stage frame — either persisted in-session
+    (run_pipeline) or re-read from the stage-1 parquet checkpoint
+    (plans.resume); both paths produce identical rows."""
     candidates = labeled.filter(F.col("recommendation") != "discard")
 
     # -- dedup on a SLIM projection. The exact-dup window (shuffle on

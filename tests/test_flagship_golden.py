@@ -5,10 +5,9 @@ relevance -> fused dedup) even though the driver records it rows-only —
 drift in ANY stage breaks this test, not just the rows>0 check.
 
 Regenerate (deliberate semantic changes only):
-  python - <<'PY'
-  # see tools/ or git log for the generation snippet; keys are
-  # sha256("|".join(f"{col}={value!r}")) over the non-url columns, sorted.
-  PY
+  python tools/gen_flagship_golden.py /root/testdata/sf0.01 tests/golden/flagship_sf001.json
+  python tools/gen_flagship_golden.py /root/testdata/sf0.1  tests/golden/flagship_sf01.json
+(keys are sha256("|".join(f"{col}={value!r}")) over non-url columns, sorted)
 """
 
 import hashlib
@@ -17,17 +16,24 @@ import os
 
 import pytest
 
-SF_DIR = "/root/testdata/sf0.01"
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "flagship_sf001.json")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
-def test_flagship_output_matches_golden(spark):
+@pytest.mark.parametrize(
+    "sf_dir,golden_file",
+    [
+        ("/root/testdata/sf0.01", "flagship_sf001.json"),
+        ("/root/testdata/sf0.1", "flagship_sf01.json"),  # bench scale
+    ],
+)
+def test_flagship_output_matches_golden(spark, sf_dir, golden_file):
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata absent")
     from scrubah_pii_spark.entry_queries import q_pipeline_flagship
 
-    with open(GOLDEN) as f:
+    with open(os.path.join(GOLDEN_DIR, golden_file)) as f:
         golden = json.load(f)
-    rows = q_pipeline_flagship(spark, SF_DIR).collect()
+    rows = q_pipeline_flagship(spark, sf_dir).collect()
     assert len(rows) == golden["n_rows"]
     mismatched = []
     got_urls = set()

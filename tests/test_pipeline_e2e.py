@@ -211,6 +211,106 @@ class TestDedupAndLeaks:
         assert labeled_n == len(rows)
         res.labeled.unpersist()
 
+    def test_checkpoint_resume_restart_byte_identical(
+        self, spark, webpages, result, tmp_path_factory
+    ):
+        """Kill the job mid-label-stage, restart against the same warehouse:
+        the restart must (a) re-process ONLY unfinished crawl_date
+        partitions (manifest has no date twice) and (b) produce output
+        byte-identical to the uninterrupted run_pipeline run."""
+        from scrubah_pii_spark.plans.resume import (
+            label_stage_resumable,
+            resume_pipeline,
+        )
+
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        n_dates = webpages.select(
+            F.to_date("warc_ts").alias("d")
+        ).distinct().count()
+        batch = max(1, n_dates // 4)
+        n_batches = -(-n_dates // batch)
+        assert n_batches >= 3, "corpus must span enough dates to interrupt"
+
+        with pytest.raises(RuntimeError, match="injected failure"):
+            label_stage_resumable(
+                webpages, wh, batch_dates=batch, fail_after_batches=2
+            )
+        manifest = spark.read.parquet(wh + "/_manifest")
+        assert manifest.count() == 2 * batch  # exactly two committed batches
+
+        res = resume_pipeline(webpages, wh, batch_dates=batch)
+
+        m = spark.read.parquet(wh + "/_manifest")
+        assert m.count() == n_dates, "a committed date was re-processed"
+        assert m.select("crawl_date").distinct().count() == n_dates
+
+        def canon(out):
+            df = out.withColumn(
+                "replacements", F.sort_array(F.map_entries("replacements"))
+            )
+            cols = sorted(df.columns)
+            return {
+                r["url"]: tuple((c, r[c]) for c in cols)
+                for r in df.collect()
+            }
+
+        assert canon(res.output) == canon(result.output)
+
+    def test_checkpoint_resume_uncommitted_batch_reprocessed(
+        self, spark, webpages, result, tmp_path_factory
+    ):
+        """A kill BETWEEN the stage-parquet append and the manifest commit
+        leaves orphan rows for that batch; the restart re-processes the
+        batch (it's not committed) and read_stage's dropDuplicates makes the
+        re-append invisible — output still byte-identical."""
+        import os
+
+        from scrubah_pii_spark.plans.resume import (
+            STAGE_TABLE,
+            label_stage_resumable,
+            resume_pipeline,
+        )
+
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        n_dates = webpages.select(
+            F.to_date("warc_ts").alias("d")
+        ).distinct().count()
+        batch = max(1, n_dates // 4)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            label_stage_resumable(
+                webpages, wh, batch_dates=batch, fail_after_batches=1
+            )
+        # simulate data-written-but-uncommitted: copy one committed date's
+        # stage rows back in WITHOUT a manifest entry for a new date region
+        stage = spark.read.parquet(os.path.join(wh, STAGE_TABLE))
+        one_date = stage.select("crawl_date").distinct().limit(1)
+        orphan = stage.join(F.broadcast(one_date), "crawl_date", "semi")
+        orphan.write.mode("append").partitionBy("crawl_date").parquet(
+            os.path.join(wh, STAGE_TABLE)
+        )
+        res = resume_pipeline(webpages, wh, batch_dates=batch)
+        a = {r["url"]: r["scrubbed_text"] for r in res.output.collect()}
+        b = {r["url"]: r["scrubbed_text"] for r in result.output.collect()}
+        assert a == b
+
+    def test_resume_is_idempotent_after_success(
+        self, spark, webpages, result, tmp_path_factory
+    ):
+        """Re-running resume_pipeline on a completed warehouse is a no-op
+        label pass (0 batches) plus a deterministic re-finish."""
+        from scrubah_pii_spark.plans.resume import (
+            label_stage_resumable,
+            resume_pipeline,
+        )
+
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        resume_pipeline(webpages, wh)
+        assert label_stage_resumable(webpages, wh) == 0
+        res2 = resume_pipeline(webpages, wh)
+        a = {r["url"]: r["scrubbed_text"] for r in res2.output.collect()}
+        b = {r["url"]: r["scrubbed_text"] for r in result.output.collect()}
+        assert a == b
+
     def test_host_salted_repartition_same_output(self, webpages, result):
         """The skew-safe host-salted pre-repartition (repartition on
         (host, salt)) is a pure physical-layout choice — output identical
