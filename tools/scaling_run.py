@@ -43,9 +43,15 @@ def main():
 
     zip_path = build_zip()
     total_cores = executors * cores_each
+    # per-NODE memory grant, identical at N and 4N (fair-node protocol): a
+    # real N-node cluster has 1/4 the 4N cluster's aggregate memory, so the
+    # N side legitimately spills more at the same corpus. Round-3's 5 GB
+    # grant was too small for the 1x8 side to even survive 8.67M rows;
+    # round-4 raises the default via SCRUBAH_EXEC_MEM_MB.
+    mem_mb = int(os.environ.get("SCRUBAH_EXEC_MEM_MB", "6144"))
     master = (
         f"local[{total_cores}]" if mode == "local"
-        else f"local-cluster[{executors},{cores_each},6144]"
+        else f"local-cluster[{executors},{cores_each},{mem_mb}]"
     )
     builder = SparkSession.builder.appName(f"scaling-{executors}x{cores_each}")
     if mode == "local":
@@ -55,7 +61,7 @@ def main():
     spark = (
         builder
         .master(master)
-        .config("spark.executor.memory", "5g")
+        .config("spark.executor.memory", f"{max(1024, mem_mb - 1024)}m")
         # each executor JVM must size its GC/JIT pools for ITS core share,
         # not the whole host — otherwise N executors spawn N*32 GC threads
         # and stampede each other (standard multi-executor-per-node tuning)
