@@ -1069,6 +1069,76 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-Flat ANN (third tier next to brute-force + hyperplane LSH):
+    centroid 'training' is the deterministic smallest-id sample (vec_id <
+    16) — a dimension-sized driver collect standing in for the offline
+    k-means every IVF deployment runs before indexing; assignment, probing
+    (n_probe=2) and within-cell exact ranking all run as native
+    expressions/joins (operators/similarity.ivf_topk)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, centroids=centroids, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {_NRM.format(a=a)} * {_NRM.format(a=b)} > 0 "
+        f"THEN {_DOT.format(a=a, b=b)} / ({_NRM.format(a=a)} * {_NRM.format(a=b)}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def sql_ivf_ann_topk(n_centroids: int = 16, n_probe: int = 2, k: int = 10) -> str:
+    """Mirror of q_ivf_ann_topk: same smallest-id centroids, same
+    argmax-cosine assignment (ties -> lowest centroid id), same n_probe
+    probing, exact ranking within probed cells on the UNROUNDED cosine
+    (the Spark side ranks unrounded too), 6-decimal display rounding."""
+    cos_ec = _cos_sql("e.embedding", "c.ce")
+    cos_qc = _cos_sql("q.qe", "c.ce")
+    cos_qs = _cos_sql("p.qe", "s.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS j, embedding AS ce FROM embeddings WHERE vec_id < {n_centroids}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.j,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.j ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), cells AS (
+  SELECT vec_id, embedding, j AS cell FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), qasg AS (
+  SELECT q.query_id, q.qe, c.j,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.j ASC) AS rn
+  FROM q CROSS JOIN cent c
+), probes AS (
+  SELECT query_id, qe, j AS cell FROM qasg WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id, {cos_qs} AS cosine
+  FROM probes p JOIN cells s ON s.cell = p.cell
+  WHERE s.vec_id != p.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_lab_trend_summary(spark, sf_dir):
     """Lab trend classification (structuredExtraction.effect.ts:562-631)
     over the clinical probe, doc_id standing in for timestamp order."""
@@ -1516,6 +1586,7 @@ QUERIES = {
     "perplexity": q_perplexity,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "lab_trend_summary": q_lab_trend_summary,
     "multimodal_features": q_multimodal_features,
     "media_decode": q_media_decode,
@@ -1560,6 +1631,7 @@ def oracle_map() -> dict:
         "narrative": o2.sql_narrative(),
         "simhash": o2.sql_simhash(),
         "lsh_ann_topk": o2.sql_lsh_ann_topk(dim=64, n_planes=8, k=10),
+        "ivf_ann_topk": sql_ivf_ann_topk(n_centroids=16, n_probe=2, k=10),
         "minhash_lsh_pairs": o2.sql_minhash_lsh_pairs(k=32, bands=8),
         "perplexity": o2.sql_perplexity(),
         "semantic_clusters": o2.sql_semantic_clusters(dim=64, n_planes=6, threshold=0.3),

@@ -214,6 +214,52 @@ class TestSimilarity:
         out = lsh_bucketed_topk(df, df.filter(F.col("vec_id") == 0), k=3, dim=4)
         assert out.count() >= 1  # near-identical vectors share every bucket
 
+    def test_ivf_assignment_and_ranking(self, spark):
+        from scrubah_pii_spark.operators.similarity import ivf_topk
+
+        # two well-separated clusters around orthogonal centroids
+        c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+        vecs = []
+        for i in range(5):
+            vecs.append((i, [1.0, 0.02 * i, 0.0, 0.0]))        # cluster 0
+            vecs.append((10 + i, [0.02 * i, 1.0, 0.0, 0.0]))   # cluster 1
+        df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+        centroids = [(0, c0), (1, c1)]
+        q = df.filter(F.col("vec_id") == 0)
+
+        # n_probe=1: every neighbor must come from cluster 0's cell
+        out1 = ivf_topk(df, q, k=10, centroids=centroids, n_probe=1).collect()
+        assert {r["neighbor_id"] for r in out1} == {1, 2, 3, 4}
+        # within the probed cell, ranking is exact: by cosine desc
+        ranked = sorted(out1, key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in ranked] == [1, 2, 3, 4]
+
+        # n_probe=2 covers both cells -> identical to brute force here
+        from scrubah_pii_spark.operators.similarity import brute_force_topk
+
+        out2 = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(df, q, k=3, centroids=centroids, n_probe=2).collect()
+        }
+        bf = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(df, q, k=3).collect()
+        }
+        assert out2 == bf
+
+    def test_ivf_tie_breaks_to_lowest_centroid(self, spark):
+        from scrubah_pii_spark.operators.similarity import ivf_topk
+
+        # vector equidistant from both (identical) centroids -> cell 0
+        centroids = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (8, [0.9, 0.1])], "vec_id int, embedding array<float>"
+        )
+        q = df.filter(F.col("vec_id") == 7)
+        out = ivf_topk(df, q, k=5, centroids=centroids, n_probe=1).collect()
+        # both vectors land in cell 0 (tie -> lowest id), so 8 is found
+        assert [r["neighbor_id"] for r in out] == [8]
+
 
 class TestClustering:
     def test_connected_components(self, spark):

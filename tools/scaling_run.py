@@ -84,7 +84,10 @@ def main():
         # split the input finely enough that the scan stage parallelizes at
         # both cluster sizes (the corpus is one parquet file; row groups are
         # the split unit)
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(int(os.environ.get("SCRUBAH_MAX_PART_MB", "8")) * 1024 * 1024),
+        )
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
