@@ -5,12 +5,13 @@ quality -> scrub -> relevance -> dedup -> leak-check) over sf0.001 documents
 mapped into the input-hint shape.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
-plus the training-data ops (dedup family, ANN, text analysis). 29 of 32
-queries carry an exact DuckDB oracle (value arithmetic mirrored down to IEEE
-addition order and JS int32/rounding semantics — scrubah_pii_spark/
-oracles_sql.py); only the sequential scrub cascade and the pipeline
-composition embedding it are rows-only, gated by the JS-parity harness +
-committed goldens + fuzz suites instead.
+plus the training-data ops (dedup family, ANN, text analysis, multimodal).
+41 of 42 queries carry an exact DuckDB oracle (value arithmetic mirrored
+down to IEEE addition order and JS int32/rounding semantics —
+scrubah_pii_spark/oracles_sql.py); only pipeline_flagship (the composition
+embedding the sequential scrub cascade) is rows-only by design, gated by the
+JS-parity harness + committed sf0.01/sf0.1 goldens + fuzz suites + per-stage
+oracles instead.
 """
 
 from __future__ import annotations

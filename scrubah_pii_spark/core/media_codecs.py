@@ -89,6 +89,12 @@ def decode_wav(payload: bytes) -> dict:
         centered = [v - 128 for v in vals]
         scale = 128
     elif bits == 16:
+        if len(frames) & 1:
+            # strict contract: a data chunk that is not a whole number of
+            # 16-bit frames is corrupt — error row, not a truncated decode
+            raise MediaDecodeError(
+                f"data chunk length {len(frames)} not a multiple of block align 2"
+            )
         n = len(frames) // 2
         centered = list(struct.unpack_from(f"<{n}h", frames, 0))
         scale = 32768
@@ -194,6 +200,21 @@ def detect_and_decode(payload: bytes) -> dict | None:
     operator's per-row error column, not silent fallback."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    # netpbm sniff needs more than the 2-byte magic: plain text that happens
+    # to start with "P5"/"P6" (e.g. b"P5 this is text") must NOT commit to
+    # this branch (round-4 ADVICE, medium). "Recognized" = the whole header
+    # (magic + width/height/maxval + whitespace) parses; only then do raster
+    # problems become error rows — header failures fall back to the hash
+    # stand-in like any unrecognized payload.
     if payload[:2] in (b"P6", b"P5"):
+        try:
+            _parse_pnm_header(payload)
+        except MediaDecodeError:
+            return None
         return decode_pnm(payload)
+    if payload[:2] == b"\xff\xd8":
+        # lazy import: jpeg_codec imports MediaDecodeError from this module
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     return None

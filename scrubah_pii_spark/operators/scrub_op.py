@@ -47,6 +47,32 @@ def scrub_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def make_scrub_udf(scrub_mode: str = "worker_then_effect"):
+    """Mode-selected scrub UDF — the same switch label_stage's fused kernel
+    applies (App.tsx:123-151 production composition vs Effect-only rules).
+    The streaming path MUST use this with cfg.scrub.scrub_mode so both paths
+    scrub identically (round-5 streaming/batch equivalence test caught the
+    Effect-only default diverging from the batch default)."""
+    scrub_fn = (
+        scrub.scrub_text_production
+        if scrub_mode == "worker_then_effect"
+        else scrub.scrub_text
+    )
+
+    @F.pandas_udf(SCRUB_RESULT_TYPE)
+    def _scrub_udf(texts: pd.Series) -> pd.DataFrame:
+        outs = [scrub_fn(t if t is not None else "") for t in texts]
+        return pd.DataFrame(
+            {
+                "scrubbed_text": [o.text for o in outs],
+                "replacements": [o.replacements for o in outs],
+                "pii_count": [o.count for o in outs],
+            }
+        )
+
+    return _scrub_udf
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(
@@ -192,6 +218,91 @@ def make_doc_features_udf(
         return df
 
     return doc_features_udf
+
+
+QUALITY_METRICS_TYPE = StructType(
+    [
+        StructField("alpha_ratio", DoubleType()),
+        StructField("space_ratio", DoubleType()),
+        StructField("word_count", IntegerType()),
+        StructField("avg_word_len", DoubleType()),
+        StructField("quality_score", DoubleType()),
+        StructField("passed", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(QUALITY_METRICS_TYPE)
+def quality_metrics_udf(texts: pd.Series) -> pd.DataFrame:
+    """Fused quality gate (compressionPipeline.effect.ts:102-135) as one
+    Arrow pass over module-compiled regexes — the same pure kernel the
+    flagship's doc_features_udf runs, exposed standalone for the bench
+    queries. Replaces the contains-expression program, which measured
+    anti-scaling past ~8 threads/JVM from string-allocation churn."""
+    from ..core import quality as _quality
+
+    rows = [_quality.simple_quality_score(t if t is not None else "") for t in texts]
+    return pd.DataFrame(
+        {
+            "alpha_ratio": [r.alpha_ratio for r in rows],
+            "space_ratio": [r.space_ratio for r in rows],
+            "word_count": pd.array([r.word_count for r in rows], dtype="Int32"),
+            "avg_word_len": [r.avg_word_len for r in rows],
+            "quality_score": [r.score for r in rows],
+            "passed": [r.passed for r in rows],
+        }
+    )
+
+
+RELEVANCE_METRICS_TYPE = StructType(
+    [
+        StructField("clinical_references", IntegerType()),
+        StructField("is_garbage_doc", BooleanType()),
+        StructField("has_diagnoses", BooleanType()),
+        StructField("has_procedures", BooleanType()),
+        StructField("has_outcomes", BooleanType()),
+        StructField("has_lab_data", BooleanType()),
+        StructField("has_medications", BooleanType()),
+        StructField("medical_content_density", DoubleType()),
+        StructField("relevance_score", DoubleType()),
+        StructField("recommendation", StringType()),
+    ]
+)
+
+
+def make_relevance_metrics_udf(generation: int = 2):
+    """Fused relevance scoring (medicalRelevanceFilter.ts:297-385) as one
+    Arrow pass — same pure kernel as the flagship, standalone for the bench
+    queries (raw text, fixed generation, matching the expression program it
+    replaces)."""
+    gen = int(generation)
+
+    @F.pandas_udf(RELEVANCE_METRICS_TYPE)
+    def relevance_metrics_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..core import relevance as _relevance
+
+        rows = [
+            _relevance.relevance_score(t if t is not None else "", "", generation=gen)
+            for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "clinical_references": pd.array(
+                    [r.clinical_references for r in rows], dtype="Int32"
+                ),
+                "is_garbage_doc": [r.is_garbage for r in rows],
+                "has_diagnoses": [r.has_diagnoses for r in rows],
+                "has_procedures": [r.has_procedures for r in rows],
+                "has_outcomes": [r.has_outcomes for r in rows],
+                "has_lab_data": [r.has_lab_data for r in rows],
+                "has_medications": [r.has_medications for r in rows],
+                "medical_content_density": [r.medical_content_density for r in rows],
+                "relevance_score": [r.score for r in rows],
+                "recommendation": [r.recommendation for r in rows],
+            }
+        )
+
+    return relevance_metrics_udf
 
 
 def leak_check_expr(scrubbed: Column) -> Column:

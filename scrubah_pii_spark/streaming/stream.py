@@ -23,7 +23,7 @@ from ..config import DEFAULT_PIPELINE_CONFIG, PipelineConfig
 from ..functions.langid_expr import langid_columns
 from ..functions.quality_expr import quality_columns
 from ..functions.relevance_expr import add_relevance_columns
-from ..operators.scrub_op import extract_text_udf, leak_check_expr, scrub_udf
+from ..operators.scrub_op import extract_text_udf, leak_check_expr, make_scrub_udf
 
 WEBPAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -62,9 +62,15 @@ def streaming_transform(
     df = df.withColumn(
         "quality_keep", F.col("quality_score") >= cfg.quality.ocr_min_quality
     ).withColumn("gates_pass", F.col("lang_keep") & F.col("quality_keep"))
+    # mode-selected scrub: MUST match the batch label_stage's
+    # cfg.scrub.scrub_mode (the round-5 equivalence test pins this — the
+    # previous Effect-only default silently diverged from the batch
+    # production worker->effect composition)
     scrub = F.when(
         F.col("gates_pass"),
-        scrub_udf(F.when(F.col("gates_pass"), F.col("extracted_text"))),
+        make_scrub_udf(cfg.scrub.scrub_mode)(
+            F.when(F.col("gates_pass"), F.col("extracted_text"))
+        ),
     )
     df = (
         df.withColumn("_scrub", scrub)
@@ -76,6 +82,19 @@ def streaming_transform(
     df = add_relevance_columns(
         df.withColumn("_snn", F.coalesce("scrubbed_text", F.lit(""))), "_snn"
     ).drop("_snn")
+    # gate-failed docs carry NULL relevance labels in the batch label_stage
+    # (the fused kernel never scores them); mask here so both paths agree
+    # (round-5 streaming/batch equivalence test)
+    for rc in (
+        "clinical_references", "is_garbage_doc", "placeholder_density",
+        "has_diagnoses", "has_procedures", "has_outcomes", "has_lab_data",
+        "has_medications", "medical_content_density", "relevance_score",
+    ):
+        df = df.withColumn(rc, F.when(F.col("gates_pass"), F.col(rc)))
+    df = df.withColumn(
+        "recommendation",
+        F.when(F.col("gates_pass"), F.col("recommendation")).otherwise("discard"),
+    )
     return df.withColumn(
         "pii_leak", F.coalesce(leak_check_expr(F.col("scrubbed_text")), F.lit(False))
     ).withColumn("crawl_date", F.to_date("warc_ts"))

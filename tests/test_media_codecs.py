@@ -153,3 +153,87 @@ class TestOperatorRealDecode:
         d = hashlib.sha256(other).digest()
         got = [round(f, 6) for f in rows[4]["features"]]
         assert got == [round(b / 255.0, 6) for b in d[:8]]
+
+
+class TestJpegCodec:
+    """Baseline JFIF codec (core/jpeg_codec.py, round-4 verdict #3)."""
+
+    def test_constant_blocks_roundtrip_exact(self):
+        import numpy as np
+
+        from scrubah_pii_spark.core.jpeg_codec import decode_jpeg, encode_jpeg
+
+        vals = [10, 200, 128, 77]
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[:8, :8], img[:8, 8:] = vals[0], vals[1]
+        img[8:, :8], img[8:, 8:] = vals[2], vals[3]
+        d = decode_jpeg(encode_jpeg(img.tobytes(), 16, 16, quant_val=1))
+        assert (d["codec"], d["width"], d["height"]) == ("jpeg", 16, 16)
+        assert d["duration_ms"] is None
+        # quant=1 + DC-only blocks => bit-exact mean (oracle contract)
+        assert d["features"] == [sum(v * 64 for v in vals) / (255 * 256)]
+
+    def test_general_roundtrip_close(self):
+        import numpy as np
+
+        from scrubah_pii_spark.core.jpeg_codec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(90, 166, (24, 17)).astype(np.uint8)  # non-8-multiple
+        d = decode_jpeg(encode_jpeg(img.tobytes(), 17, 24, quant_val=1))
+        assert (d["width"], d["height"]) == (17, 24)
+        true_mean = int(img.astype(np.int64).sum()) / (255 * 17 * 24)
+        # quant=1 keeps DCT rounding loss tiny; mean error far under 1 LSB
+        assert abs(d["features"][0] - true_mean) < 1.0 / 255
+
+    def test_quantized_roundtrip_bounded_error(self):
+        import numpy as np
+
+        from scrubah_pii_spark.core.jpeg_codec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(img.tobytes(), 32, 32, quant_val=16))
+        true_mean = int(img.astype(np.int64).sum()) / (255 * 32 * 32)
+        assert abs(d["features"][0] - true_mean) < 16.0 / 255
+
+    def test_dispatch_and_strictness(self):
+        import numpy as np
+
+        from scrubah_pii_spark.core.jpeg_codec import decode_jpeg, encode_jpeg
+
+        payload = encode_jpeg(bytes([50] * 64), 8, 8)
+        assert detect_and_decode(payload)["codec"] == "jpeg"
+        with pytest.raises(MediaDecodeError):
+            decode_jpeg(payload[:40])  # truncated mid-segment
+        with pytest.raises(MediaDecodeError, match="non-baseline"):
+            decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05abc")  # progressive SOF2
+        with pytest.raises(MediaDecodeError, match="EOI before SOS"):
+            decode_jpeg(b"\xff\xd8\xff\xd9\x00\x00")  # EOI, no scan
+        # truncated mid-scan -> decode error, not garbage output
+        rng = np.random.RandomState(5)
+        big = encode_jpeg(
+            rng.randint(0, 256, 32 * 32).astype(np.uint8).tobytes(), 32, 32
+        )
+        with pytest.raises(MediaDecodeError):
+            decode_jpeg(big[: len(big) // 2])
+
+    def test_huffman_tables_canonical(self):
+        # every (code,length) must be prefix-free; spot-check table sizes
+        from scrubah_pii_spark.core.jpeg_codec import (
+            AC_LUM_BITS,
+            AC_LUM_VALS,
+            DC_LUM_BITS,
+            DC_LUM_VALS,
+            _build_codes,
+        )
+
+        assert sum(DC_LUM_BITS) == len(DC_LUM_VALS) == 12
+        assert sum(AC_LUM_BITS) == len(AC_LUM_VALS) == 162
+        codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+        seen = {(c, l) for c, l in codes.values()}
+        assert len(seen) == 162
+        for c, l in seen:  # prefix-freedom against all shorter codes
+            for c2, l2 in seen:
+                if l2 < l and (c >> (l - l2)) == c2:
+                    raise AssertionError("prefix violation")

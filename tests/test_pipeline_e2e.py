@@ -327,3 +327,59 @@ class TestDedupAndLeaks:
         b = {r["url"] for r in result.output.select("url").collect()}
         assert a == b
         salted.labeled.unpersist()
+
+
+class TestResumeContract:
+    """Round-4 ADVICE items: flag plumbing, (url, warc_ts) primary-key
+    contract, and the empty-warehouse guard in plans/resume.py."""
+
+    def test_resume_forwards_label_flags(
+        self, spark, webpages, tmp_path_factory
+    ):
+        """resume_pipeline(use_crawl_lang=..., with_perplexity=...) must
+        reproduce run_pipeline with the SAME flags — previously the resume
+        path silently labeled with defaults."""
+        from scrubah_pii_spark.plans.resume import resume_pipeline
+
+        wh = str(tmp_path_factory.mktemp("warehouse_flags"))
+        res = resume_pipeline(
+            webpages, wh, use_crawl_lang=True, with_perplexity=False
+        )
+        ref = run_pipeline(
+            webpages, use_crawl_lang=True, with_perplexity=False
+        )
+        a = {(r["url"], r["warc_ts"]): r["scrubbed_text"]
+             for r in res.output.collect()}
+        b = {(r["url"], r["warc_ts"]): r["scrubbed_text"]
+             for r in ref.output.collect()}
+        assert a == b
+        # the flags must actually reach label_stage: with_perplexity=False
+        # drops the perplexity column from the labeled frame
+        assert "perplexity" not in res.labeled.columns
+        ref.labeled.unpersist()
+
+    def test_validate_keys_rejects_duplicate_pk(
+        self, spark, webpages, tmp_path_factory
+    ):
+        """Two legitimate rows sharing (url, warc_ts) violate the resume
+        input contract; validate_keys=True must fail fast instead of
+        silently collapsing them on restart."""
+        from scrubah_pii_spark.plans.resume import label_stage_resumable
+
+        dup = webpages.limit(1)
+        bad = webpages.unionByName(dup)
+        wh = str(tmp_path_factory.mktemp("warehouse_dup"))
+        with pytest.raises(ValueError, match=r"primary-key contract"):
+            label_stage_resumable(bad, wh, validate_keys=True)
+
+    def test_empty_input_raises_descriptive(
+        self, spark, webpages, tmp_path_factory
+    ):
+        """Zero-partition input leaves no stage/manifest; resume must name
+        the warehouse state, not die on a raw AnalysisException."""
+        from scrubah_pii_spark.plans.resume import resume_pipeline
+
+        empty = webpages.filter(F.lit(False))
+        wh = str(tmp_path_factory.mktemp("warehouse_empty"))
+        with pytest.raises(FileNotFoundError, match="no committed label stage"):
+            resume_pipeline(empty, wh)
