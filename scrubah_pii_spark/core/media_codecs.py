@@ -217,4 +217,8 @@ def detect_and_decode(payload: bytes) -> dict | None:
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import decode_png
+
+        return decode_png(payload)
     return None

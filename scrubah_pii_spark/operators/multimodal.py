@@ -39,7 +39,7 @@ MEDIA_FEATURES_TYPE = StructType(
     [
         StructField("sha256", StringType()),
         StructField("byte_len", IntegerType()),
-        StructField("codec", StringType()),       # wav | ppm | pgm | jpeg | hash
+        StructField("codec", StringType()),       # wav | ppm | pgm | jpeg | png | hash
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("duration_ms", IntegerType()),

@@ -220,6 +220,40 @@ def make_doc_features_udf(
     return doc_features_udf
 
 
+def make_doc_features_extract_udf(
+    keep_langs=("en",),
+    min_quality: float = 0.3,
+    scrub_mode: str = "worker_then_effect",
+):
+    """Extraction-fused variant: (text, html, generation) -> features in ONE
+    ArrowEvalPython node. The separate extract_text_udf stage cost a second
+    Arrow round-trip whose JVM-side queue buffered every passthrough column
+    a second time — pure memory traffic, measured as part of the 4N-side
+    bandwidth tax (BENCH/BASELINE.md round-5). html arrives pre-masked NULL
+    for rows that already carry text, so its bytes never cross Arrow for
+    them; extract_text(None) == "" keeps null/null rows identical to the
+    two-stage path."""
+    langs = tuple(keep_langs)
+
+    @F.pandas_udf(DOC_FEATURES_TYPE)
+    def doc_features_extract_udf(
+        texts: pd.Series, htmls: pd.Series, generations: pd.Series
+    ) -> pd.DataFrame:
+        merged = [
+            t if t is not None else extract_text(h)
+            for t, h in zip(texts, htmls)
+        ]
+        data = _doc_features_batch(
+            merged, generations, langs, min_quality, scrub_mode
+        )
+        df = pd.DataFrame({k: v for k, v in data.items() if k != "simhash"})
+        # Int64, same trap as doc_features_udf (NOTES_r4 #6)
+        df["simhash"] = pd.array(data["simhash"], dtype="Int64")
+        return df
+
+    return doc_features_extract_udf
+
+
 QUALITY_METRICS_TYPE = StructType(
     [
         StructField("alpha_ratio", DoubleType()),

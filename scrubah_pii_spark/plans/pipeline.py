@@ -37,9 +37,8 @@ from ..functions.relevance_expr import generation_from_ts
 from ..functions.hashing_expr import doc_type_expr
 from ..operators.dedup import dedup_verdicts_fused
 from ..operators.scrub_op import (
-    extract_text_udf,
     leak_check_expr,
-    make_doc_features_udf,
+    make_doc_features_extract_udf,
 )
 from ..sources.io import with_partition_cols
 
@@ -70,21 +69,29 @@ def label_stage(
     finish_pipeline."""
     spark = df.sparkSession
 
-    # -- extract (html -> text); column-prune drops html immediately after.
-    # The UDF argument is NULLed when `text` already exists so rows with
-    # pre-extracted text never ship their html bytes across the Arrow
-    # boundary (ArrowEvalPython evaluates unconditionally; masking the INPUT
-    # is what saves the transfer + decode).
+    # -- extract (html -> text) is FUSED into the doc-features UDF (round 5):
+    # the previous standalone extract_text_udf stage was a second
+    # ArrowEvalPython node whose JVM queue re-buffered every passthrough
+    # column — pure memory traffic at 32 cores. The inputs are masked the
+    # same way: rows that already carry text ship a NULL html across Arrow
+    # (never the bytes); rows without text ship html and extract in the same
+    # Python pass as scoring. extract_text(None) == "" keeps null/null rows
+    # identical to the old two-stage path.
     if "html" in df.columns:
         has_text = F.col("text").isNotNull() if "text" in df.columns else F.lit(False)
-        df = df.withColumn(
-            "extracted_text",
-            F.when(has_text, F.col("text")).otherwise(
-                extract_text_udf(F.when(~has_text, F.col("html")))
-            ),
+        text_arg = (
+            F.when(has_text, F.col("text"))
+            if "text" in df.columns
+            else F.lit(None).cast("string")
+        )
+        html_arg = F.when(~has_text, F.col("html"))
+        df = df.withColumn("_text_in", text_arg).withColumn(
+            "_html_in", html_arg
         ).drop("html")
     else:
-        df = df.withColumn("extracted_text", F.col("text"))
+        df = df.withColumn("_text_in", F.col("text")).withColumn(
+            "_html_in", F.lit(None).cast("binary")
+        )
 
     # -- even repartition before the heavy UDF stage. Round-robin gives
     # perfectly EQUAL partition sizes, which matters because the fused
@@ -120,10 +127,12 @@ def label_stage(
     df = df.withColumn(
         "generation", generation_from_ts(F.col("warc_ts"), cfg.relevance.current_year)
     )
-    feats = make_doc_features_udf(
+    feats = make_doc_features_extract_udf(
         cfg.langid.keep_langs, cfg.quality.ocr_min_quality, cfg.scrub.scrub_mode
     )
-    df = df.withColumn("_f", feats(F.col("extracted_text"), F.col("generation")))
+    df = df.withColumn(
+        "_f", feats(F.col("_text_in"), F.col("_html_in"), F.col("generation"))
+    )
     df = df.withColumns(
         {name: F.col(f"_f.{name}") for name in (
             "lang_pred", "lang_score", "lang_margin", "log_ppl",
@@ -147,10 +156,10 @@ def label_stage(
         "doc_type", doc_type_expr(F.lit(""), F.coalesce("scrubbed_text", F.lit("")))
     )
 
-    # Drop the raw/extracted text copies: everything downstream (dedup,
-    # output, metrics, lineage) reads scrubbed_text only, and keeping three
-    # ~equal-size text copies per row triples cache and shuffle volume.
-    return df.drop("extracted_text", "text")
+    # Drop the raw text-copy inputs: everything downstream (dedup, output,
+    # metrics, lineage) reads scrubbed_text only, and keeping extra text
+    # copies per row multiplies cache and shuffle volume.
+    return df.drop("_text_in", "_html_in", "text")
 
 
 def run_pipeline(

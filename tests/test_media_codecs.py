@@ -237,3 +237,88 @@ class TestJpegCodec:
             for c2, l2 in seen:
                 if l2 < l and (c >> (l - l2)) == c2:
                     raise AssertionError("prefix violation")
+
+
+class TestPngCodec:
+    """PNG codec (core/png_codec.py, round 5): lossless, so EVERY payload
+    round-trips exactly — the strongest oracle contract of the four."""
+
+    def test_grey_roundtrip_exact(self):
+        import random
+
+        from scrubah_pii_spark.core.png_codec import decode_png, encode_png
+
+        rng = random.Random(2)
+        w, h = 13, 9
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        d = decode_png(encode_png(px, w, h, 1))
+        assert (d["codec"], d["width"], d["height"]) == ("png", w, h)
+        assert d["features"] == [sum(px) / (255 * w * h)]
+
+    def test_rgb_roundtrip_exact(self):
+        import random
+
+        from scrubah_pii_spark.core.png_codec import decode_png, encode_png
+
+        rng = random.Random(3)
+        w, h = 5, 4
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        d = decode_png(encode_png(px, w, h, 3))
+        assert d["features"] == [
+            sum(px[c::3]) / (255 * w * h) for c in range(3)
+        ]
+
+    def test_all_filter_types_decode(self):
+        import struct
+        import zlib
+
+        from scrubah_pii_spark.core.png_codec import (
+            PNG_SIG,
+            _crc_chunk,
+            decode_png,
+        )
+
+        # one scanline per filter type 0..4, 2px grey; expected unfiltered:
+        # (0) 10,20; (1 Sub) 5,12; (2 Up) 6,13; (3 Avg) 7,14; (4 Paeth) 9,16
+        lines = [(0, [10, 20]), (1, [5, 7]), (2, [1, 1]), (3, [4, 4]), (4, [2, 2])]
+        raw = b"".join(bytes([f]) + bytes(l) for f, l in lines)
+        ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 0, 0, 0, 0)
+        p = (
+            PNG_SIG
+            + _crc_chunk(b"IHDR", ihdr)
+            + _crc_chunk(b"IDAT", zlib.compress(raw))
+            + _crc_chunk(b"IEND", b"")
+        )
+        d = decode_png(p)
+        expected = [10, 20, 5, 12, 6, 13, 7, 14, 9, 16]
+        assert d["features"] == [sum(expected) / (255 * 10)]
+
+    def test_strictness(self):
+        from scrubah_pii_spark.core.png_codec import decode_png, encode_png
+
+        good = encode_png(bytes(range(16)), 4, 4, 1)
+        with pytest.raises(MediaDecodeError, match="signature"):
+            decode_png(b"\x89PNGxxxx" + good[8:])
+        with pytest.raises(MediaDecodeError, match="missing IHDR"):
+            decode_png(good[:8] + b"junk")
+        bad_crc = bytearray(good)
+        bad_crc[20] ^= 0xFF
+        with pytest.raises(MediaDecodeError, match="bad crc"):
+            decode_png(bytes(bad_crc))
+        with pytest.raises(MediaDecodeError, match="truncated|missing IEND"):
+            decode_png(good[:-6])
+        # interlaced flag -> unsupported (crc recomputed to isolate the check)
+        import struct
+        import zlib as _z
+
+        from scrubah_pii_spark.core.png_codec import PNG_SIG, _crc_chunk
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        p = PNG_SIG + _crc_chunk(b"IHDR", ihdr) + _crc_chunk(b"IEND", b"")
+        with pytest.raises(MediaDecodeError, match="interlace"):
+            decode_png(p)
+
+    def test_dispatch(self):
+        from scrubah_pii_spark.core.png_codec import encode_png
+
+        assert detect_and_decode(encode_png(bytes(4), 2, 2, 1))["codec"] == "png"

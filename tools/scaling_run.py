@@ -76,7 +76,13 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # round-5 lever: smaller Arrow batches shrink each python worker's
+        # resident working set (batch in + features out held concurrently),
+        # cutting peak memory-bandwidth demand when 32 workers share a host
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SCRUBAH_ARROW_BATCH", "2048"),
+        )
         # 256 MB: the dedup-verdict join's build side sits near 64 MB at this
         # corpus size — a flaky AQE broadcast decision was adding ±20 s of
         # sort-merge variance to otherwise identical runs
