@@ -173,7 +173,11 @@ class ExtractedRecord:
     abnormal_flags: list
 
 
-def extract_record(text: str) -> ExtractedRecord:
+def extract_labs(text: str) -> list:
+    """Labs-only slice of extract_record — same patterns, same order, same
+    tuples. Exists so lab-only consumers (lab_trends) can skip the
+    vitals/ICD-10/modality/abnormal passes: UDF-level column pruning that
+    Catalyst cannot do into a Python kernel."""
     labs = []
     for test, pat in LAB_PATTERNS.items():
         m = pat.search(text)
@@ -187,6 +191,11 @@ def extract_record(text: str) -> ExtractedRecord:
                 test, (0, 0, "")
             )[2]
             labs.append((test, value, unit, get_lab_status(value, test)))
+    return labs
+
+
+def extract_record(text: str) -> ExtractedRecord:
+    labs = extract_labs(text)
     vitals = []
     for vital, pat in VITAL_PATTERNS.items():
         m = pat.search(text)

@@ -15,7 +15,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..core.extraction import extract_record
+from ..core.extraction import extract_labs, extract_record
 
 EXTRACTION_TYPE = StructType(
     [
@@ -53,6 +53,29 @@ def extract_record_udf(texts: pd.Series) -> pd.DataFrame:
             "abnormal_flags": [o.abnormal_flags for o in outs],
         }
     )
+
+
+LABS_TYPE = ArrayType(StructType([
+    StructField("test", StringType()),
+    StructField("value", DoubleType()),
+    StructField("unit", StringType()),
+    StructField("status", StringType()),
+]))
+
+
+@F.pandas_udf(LABS_TYPE)
+def extract_labs_udf(texts: pd.Series) -> pd.Series:
+    """Labs-only kernel (UDF-level column pruning): lab consumers skip the
+    vitals/ICD-10/modality/abnormal regex passes AND their Arrow transfer —
+    Catalyst prunes columns, not work inside a Python kernel. Same patterns
+    and tuples as extract_record (core/extraction.py extract_labs)."""
+    return pd.Series([
+        [
+            {"test": t, "value": v, "unit": u, "status": s}
+            for t, v, u, s in extract_labs(txt or "")
+        ]
+        for txt in texts
+    ])
 
 
 def add_extraction(df: DataFrame, text_col: str) -> DataFrame:

@@ -112,3 +112,22 @@ class TestBpDiastolic:
         vitals = dict(r.vitals)
         assert vitals["BP"] == 140.0
         assert vitals["BP_DIA"] == 90.0
+
+
+class TestExtractLabsParity:
+    """extract_labs is the labs-only slice of extract_record (UDF-level
+    column pruning for lab_trends); the two must never drift."""
+
+    def test_labs_slice_matches_full_record(self):
+        from scrubah_pii_spark.core.extraction import extract_labs, extract_record
+
+        probes = [
+            "",
+            "Hemoglobin: 13.5 g/dL, WBC 11.2, Creatinine: 0.9 mg/dL",
+            "BP 120/80, HR 72, glucose 250 mg/dl CRITICAL, A1c: 9.1%",
+            "Sodium 151 mEq/L Potassium: 2.9 K+ low; ALT 250 U/L",
+            "no labs here at all, just prose about a hospital garden",
+            "TSH <0.01 and platelets 450 with INR: 3.3",
+        ]
+        for p in probes:
+            assert extract_labs(p) == extract_record(p).labs
