@@ -221,4 +221,8 @@ def detect_and_decode(payload: bytes) -> dict | None:
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)
     return None

@@ -1198,18 +1198,23 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_media_decode(spark, sf_dir):
     """REAL media decode branches (round-3 verdict #8; round-5 closes the
-    image gap): deterministic WAV (doc_id%4==0: 8-bit mono PCM, 8 kHz,
-    samples (i*(doc_id+3)+7)%256), binary PPM (doc_id%4==1: (2+doc_id%6)x3
-    RGB, raster byte j = (j+doc_id)%256), baseline JPEG (doc_id%4==2: 16x16
+    image gap): deterministic WAV (doc_id%5==0: 8-bit mono PCM, 8 kHz,
+    samples (i*(doc_id+3)+7)%256), binary PPM (doc_id%5==1: (2+doc_id%6)x3
+    RGB, raster byte j = (j+doc_id)%256), baseline JPEG (doc_id%5==2: 16x16
     grayscale, four 8x8 blocks of constant value (doc_id*17+b*29)%256,
     quant table all-ones so the DC-only blocks round-trip EXACTLY through
-    the full Huffman+IDCT path — core.jpeg_codec) and PNG (doc_id%4==3:
+    the full Huffman+IDCT path — core.jpeg_codec), PNG (doc_id%5==3:
     5x4 RGB, pixel byte j = (7*j+doc_id)%256 — lossless zlib+filters, so
-    ANY payload round-trips exactly — core.png_codec) payloads are
-    synthesized per doc, then parsed back by the pure-Python codecs through
-    the same mapInPandas operator as every other media payload. Features
-    are exact integer sums + one division, so the DuckDB oracle reproduces
-    them in closed form — an end-to-end encode->decode->feature proof."""
+    ANY payload round-trips exactly — core.png_codec) and GIF (doc_id%5==4:
+    (3+doc_id%4)x3, palette of 4+doc_id%5 colors with channel-c entry
+    (k*(11+2c)+doc_id)%256, pixel j index (j+doc_id)%n_colors, odd doc_ids
+    written 4-pass INTERLACED — LZW is lossless and the decoder
+    de-interlaces, so features are closed-form — core.gif_codec) payloads
+    are synthesized per doc, then parsed back by the pure-Python codecs
+    through the same mapInPandas operator as every other media payload.
+    Features are exact integer sums + one division, so the DuckDB oracle
+    reproduces them in closed form — an end-to-end
+    encode->decode->feature proof."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
@@ -1222,6 +1227,7 @@ def q_media_decode(spark, sf_dir):
         # absolute import: resolves on executors under --py-files too
         import numpy as np
 
+        from scrubah_pii_spark.core.gif_codec import encode_gif
         from scrubah_pii_spark.core.jpeg_codec import encode_jpeg
         from scrubah_pii_spark.core.media_codecs import encode_ppm, encode_wav
         from scrubah_pii_spark.core.png_codec import encode_png
@@ -1229,24 +1235,36 @@ def q_media_decode(spark, sf_dir):
         out = []
         for did in doc_ids:
             did = int(did)
-            if did % 4 == 0:
+            if did % 5 == 0:
                 n = 64 + did % 32
                 samples = [(i * (did + 3) + 7) % 256 for i in range(n)]
                 out.append(encode_wav(samples, rate=8000, bits=8))
-            elif did % 4 == 1:
+            elif did % 5 == 1:
                 w = 2 + did % 6
                 raster = bytes((j + did) % 256 for j in range(w * 3 * 3))
                 out.append(encode_ppm(raster, w, 3))
-            elif did % 4 == 2:
+            elif did % 5 == 2:
                 img = np.empty((16, 16), dtype=np.uint8)
                 for b in range(4):
                     v = (did * 17 + b * 29) % 256
                     img[(b // 2) * 8 : (b // 2) * 8 + 8,
                         (b % 2) * 8 : (b % 2) * 8 + 8] = v
                 out.append(encode_jpeg(img.tobytes(), 16, 16, quant_val=1))
-            else:
+            elif did % 5 == 3:
                 raster = bytes((7 * j + did) % 256 for j in range(5 * 4 * 3))
                 out.append(encode_png(raster, 5, 4, channels=3))
+            else:
+                w = 3 + did % 4
+                nc = 4 + did % 5
+                pal = bytes(
+                    (k * (11 + 2 * c) + did) % 256
+                    for k in range(nc)
+                    for c in range(3)
+                )
+                idx = bytes((j + did) % nc for j in range(w * 3))
+                out.append(
+                    encode_gif(idx, w, 3, pal, interlace=bool(did % 2))
+                )
         return pd.Series(out)
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1269,7 +1287,7 @@ def q_media_decode(spark, sf_dir):
 
 SQL_MEDIA_DECODE = """
 WITH wav AS (
-  SELECT doc_id, 64 + (doc_id % 32) AS n FROM documents WHERE doc_id % 4 = 0
+  SELECT doc_id, 64 + (doc_id % 32) AS n FROM documents WHERE doc_id % 5 = 0
 ), wav_v AS (
   SELECT w.doc_id, w.n, (t.i * (w.doc_id + 3) + 7) % 256 AS v
   FROM wav w, unnest(range(0, w.n)) AS t(i)
@@ -1282,7 +1300,7 @@ WITH wav AS (
     CAST(NULL AS DOUBLE) AS f2d
   FROM wav_v GROUP BY doc_id, n
 ), ppm AS (
-  SELECT doc_id, 2 + (doc_id % 6) AS w FROM documents WHERE doc_id % 4 = 1
+  SELECT doc_id, 2 + (doc_id % 6) AS w FROM documents WHERE doc_id % 5 = 1
 ), ppm_v AS (
   SELECT p.doc_id, p.w,
     (3 * t.k + 0 + p.doc_id) % 256 AS r,
@@ -1298,7 +1316,7 @@ WITH wav AS (
     SUM(b) / (255.0 * w * 3) AS f2d
   FROM ppm_v GROUP BY doc_id, w
 ), jpg AS (
-  SELECT doc_id FROM documents WHERE doc_id % 4 = 2
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 2
 ), jpg_v AS (
   -- four constant-valued 8x8 blocks; quant table all-ones makes the
   -- Huffman+IDCT round-trip EXACT (core/jpeg_codec.py module doc), so the
@@ -1314,7 +1332,7 @@ WITH wav AS (
     CAST(NULL AS DOUBLE) AS f2d
   FROM jpg_v GROUP BY doc_id
 ), png AS (
-  SELECT doc_id FROM documents WHERE doc_id % 4 = 3
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 3
 ), png_v AS (
   -- PNG is LOSSLESS (zlib + filters), so the 5x4 RGB raster byte formula
   -- is the decoded raster exactly — no round-trip caveats at all
@@ -1331,6 +1349,23 @@ WITH wav AS (
     SUM(g) / (255.0 * 20) AS f1d,
     SUM(b) / (255.0 * 20) AS f2d
   FROM png_v GROUP BY doc_id
+), gif AS (
+  SELECT doc_id, 3 + (doc_id % 4) AS w, 4 + (doc_id % 5) AS nc
+  FROM documents WHERE doc_id % 5 = 4
+), gif_v AS (
+  -- GIF is LOSSLESS (variable-width LZW over palette indices) and the
+  -- decoder de-interlaces, so the palette-mapped raster is closed-form:
+  -- pixel j -> palette entry k=(j+doc_id)%nc, channel c -> (k*(11+2c)+did)%256
+  SELECT g.doc_id, g.w, g.nc, ((t.j + g.doc_id) % g.nc) AS k
+  FROM gif g, unnest(range(0, g.w * 3)) AS t(j)
+), gif_f AS (
+  SELECT doc_id, 'gif' AS codec,
+    CAST(w AS INT) AS width, CAST(3 AS INT) AS height,
+    CAST(NULL AS INT) AS duration_ms,
+    SUM((k * 11 + doc_id) % 256) / (255.0 * w * 3) AS f0d,
+    SUM((k * 13 + doc_id) % 256) / (255.0 * w * 3) AS f1d,
+    SUM((k * 15 + doc_id) % 256) / (255.0 * w * 3) AS f2d
+  FROM gif_v GROUP BY doc_id, w
 )
 SELECT doc_id, codec, width, height, duration_ms,
   round(CAST(CAST(f0d AS FLOAT) AS DOUBLE), 6) AS f0,
@@ -1338,7 +1373,8 @@ SELECT doc_id, codec, width, height, duration_ms,
   round(CAST(CAST(f2d AS FLOAT) AS DOUBLE), 6) AS f2,
   CAST(NULL AS VARCHAR) AS error
 FROM (SELECT * FROM wav_f UNION ALL SELECT * FROM ppm_f
-      UNION ALL SELECT * FROM jpg_f UNION ALL SELECT * FROM png_f)
+      UNION ALL SELECT * FROM jpg_f UNION ALL SELECT * FROM png_f
+      UNION ALL SELECT * FROM gif_f)
 """
 
 

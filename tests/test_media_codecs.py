@@ -322,3 +322,104 @@ class TestPngCodec:
         from scrubah_pii_spark.core.png_codec import encode_png
 
         assert detect_and_decode(encode_png(bytes(4), 2, 2, 1))["codec"] == "png"
+
+
+class TestGifCodec:
+    """GIF codec (core/gif_codec.py, round 5): variable-width LZW over
+    palette indices is lossless, so every payload round-trips exactly —
+    including 4-pass interlaced rasters, which the decoder re-sequences."""
+
+    @staticmethod
+    def _pal(nc, seed=3):
+        return bytes((k * 11 + seed + c * 7) % 256 for k in range(nc) for c in range(3))
+
+    def test_roundtrip_exact_sequential_and_interlaced(self):
+        import random
+
+        from scrubah_pii_spark.core.gif_codec import decode_gif, encode_gif
+
+        rng = random.Random(5)
+        for interlace in (False, True):
+            for w, h, nc in [(5, 4, 8), (16, 16, 256), (1, 1, 2), (37, 11, 5)]:
+                pal = self._pal(nc)
+                idx = bytes(rng.randrange(nc) for _ in range(w * h))
+                d = decode_gif(encode_gif(idx, w, h, pal, interlace=interlace))
+                assert (d["codec"], d["width"], d["height"]) == ("gif", w, h)
+                n_px = w * h
+                assert d["features"] == [
+                    sum(pal[3 * i + c] for i in idx) / (255 * n_px)
+                    for c in range(3)
+                ]
+
+    def test_lzw_variable_width_and_table_full_reclear(self):
+        import random
+
+        from scrubah_pii_spark.core.gif_codec import _lzw_decode, _lzw_encode
+
+        rng = random.Random(11)
+        for mcs in (2, 4, 8):
+            # random data grows the table through every code width; the
+            # doubled repetitive stream drives it to 4096 -> re-Clear
+            data = bytes(rng.randrange(1 << mcs) for _ in range(20000))
+            assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, len(data))) == data
+            rep = bytes([i % (1 << mcs) for i in range(30000)]) * 2
+            assert bytes(_lzw_decode(_lzw_encode(rep, mcs), mcs, len(rep))) == rep
+
+    def test_gif87a_and_extension_blocks_skipped(self):
+        from scrubah_pii_spark.core.gif_codec import decode_gif, encode_gif
+
+        pal = self._pal(4)
+        gif = bytearray(encode_gif(bytes([0, 1, 2, 3]), 2, 2, pal))
+        gif[:6] = b"GIF87a"
+        # splice a graphic-control extension before the image descriptor
+        img_at = 13 + 3 * 4
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        spliced = bytes(gif[:img_at]) + ext + bytes(gif[img_at:])
+        d = decode_gif(spliced)
+        assert d["codec"] == "gif" and d["width"] == 2
+
+    def test_local_color_table_wins(self):
+        import struct
+
+        from scrubah_pii_spark.core.gif_codec import (
+            _lzw_encode,
+            decode_gif,
+            encode_gif,
+        )
+
+        # build by hand: global table of zeros, local table with real colors
+        pal_local = self._pal(4, seed=9)
+        lsd = struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+        gct = bytes(12)
+        idx = bytes([0, 1, 2, 3])
+        lzw = _lzw_encode(idx, 2)
+        sub = bytes([len(lzw)]) + lzw + b"\x00"
+        img = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x80 | 1)
+        p = b"GIF89a" + lsd + gct + img + pal_local + b"\x02" + sub + b"\x3b"
+        d = decode_gif(p)
+        assert d["features"] == [
+            sum(pal_local[3 * i + c] for i in idx) / (255 * 4) for c in range(3)
+        ]
+        # and the encoder's global-table form agrees
+        d2 = decode_gif(encode_gif(idx, 2, 2, pal_local))
+        assert d2["features"] == d["features"]
+
+    def test_strictness(self):
+        from scrubah_pii_spark.core.gif_codec import decode_gif, encode_gif
+
+        good = encode_gif(bytes([0, 1, 2, 3]), 2, 2, self._pal(4))
+        with pytest.raises(MediaDecodeError, match="signature"):
+            decode_gif(b"GIF88a" + good[6:])
+        with pytest.raises(MediaDecodeError, match="truncated"):
+            decode_gif(good[:10])
+        with pytest.raises(MediaDecodeError, match="truncated|trailer|image"):
+            decode_gif(good[:20])
+        # LZW stream cut mid-raster
+        with pytest.raises(MediaDecodeError, match="LZW|truncated"):
+            decode_gif(good[:-4] + b"\x00\x3b")
+
+    def test_dispatch(self):
+        from scrubah_pii_spark.core.gif_codec import encode_gif
+
+        gif = encode_gif(bytes([0, 1, 2, 3]), 2, 2, self._pal(4))
+        assert detect_and_decode(gif)["codec"] == "gif"
