@@ -1252,7 +1252,11 @@ def q_media_decode(spark, sf_dir):
                 out.append(encode_jpeg(img.tobytes(), 16, 16, quant_val=1))
             elif did % 5 == 3:
                 raster = bytes((7 * j + did) % 256 for j in range(5 * 4 * 3))
-                out.append(encode_png(raster, 5, 4, channels=3))
+                # odd doc_ids Adam7-interlaced: lossless either way, same oracle
+                out.append(
+                    encode_png(raster, 5, 4, channels=3,
+                               interlace=bool(did % 2))
+                )
             else:
                 w = 3 + did % 4
                 nc = 4 + did % 5

@@ -307,16 +307,90 @@ class TestPngCodec:
             decode_png(bytes(bad_crc))
         with pytest.raises(MediaDecodeError, match="truncated|missing IEND"):
             decode_png(good[:-6])
-        # interlaced flag -> unsupported (crc recomputed to isolate the check)
+        # palette image without PLTE; bad interlace method byte
         import struct
-        import zlib as _z
 
         from scrubah_pii_spark.core.png_codec import PNG_SIG, _crc_chunk
 
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+        p = PNG_SIG + _crc_chunk(b"IHDR", ihdr) + _crc_chunk(b"IEND", b"")
+        with pytest.raises(MediaDecodeError, match="PLTE"):
+            decode_png(p)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
         p = PNG_SIG + _crc_chunk(b"IHDR", ihdr) + _crc_chunk(b"IEND", b"")
         with pytest.raises(MediaDecodeError, match="interlace"):
             decode_png(p)
+
+    def test_adam7_roundtrip_exact(self):
+        import random
+
+        from scrubah_pii_spark.core.png_codec import decode_png, encode_png
+
+        rng = random.Random(19)
+        # odd sizes exercise empty/partial Adam7 passes
+        for w, h, ch in [(13, 9, 1), (5, 4, 3), (1, 1, 1), (7, 1, 3), (1, 9, 1)]:
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            d = decode_png(encode_png(px, w, h, ch, interlace=True))
+            assert d["features"] == [
+                sum(px[c::ch]) / (255 * w * h) for c in range(ch)
+            ]
+
+    def test_palette_all_depths_roundtrip(self):
+        import random
+
+        from scrubah_pii_spark.core.png_codec import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        rng = random.Random(23)
+        for depth in (1, 2, 4, 8):
+            nc = min(1 << depth, 11)
+            pal = bytes(
+                (k * 19 + 5 + c * 3) % 256 for k in range(nc) for c in range(3)
+            )
+            for w, h in [(10, 7), (1, 1), (3, 5)]:
+                idx = bytes(rng.randrange(nc) for _ in range(w * h))
+                d = decode_png(encode_png_palette(idx, w, h, pal, depth))
+                assert d["features"] == [
+                    sum(pal[3 * i + c] for i in idx) / (255 * w * h)
+                    for c in range(3)
+                ]
+
+    def test_16bit_and_alpha_types(self):
+        import random
+        import struct
+        import zlib
+
+        from scrubah_pii_spark.core.png_codec import (
+            PNG_SIG,
+            _crc_chunk,
+            decode_png,
+        )
+
+        rng = random.Random(29)
+
+        def build(w, h, ctype, ch, vals):
+            ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+            raw = bytearray()
+            for y in range(h):
+                raw.append(0)
+                for x in range(w * ch):
+                    raw += struct.pack(">H", vals[y * w * ch + x])
+            return (
+                PNG_SIG
+                + _crc_chunk(b"IHDR", ihdr)
+                + _crc_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _crc_chunk(b"IEND", b"")
+            )
+
+        for ctype, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            w, h = 6, 3
+            vals = [rng.randrange(65536) for _ in range(w * h * ch)]
+            d = decode_png(build(w, h, ctype, ch, vals))
+            assert d["features"] == [
+                sum(vals[c::ch]) / (65535 * w * h) for c in range(ch)
+            ]
 
     def test_dispatch(self):
         from scrubah_pii_spark.core.png_codec import encode_png
