@@ -1663,6 +1663,42 @@ def q_pipeline_flagship(spark, sf_dir):
     )
 
 
+def q_host_cap(spark, sf_dir):
+    """Skew-safe per-host document cap (keep best 10 per host by n_chars
+    desc, doc_id tiebreak). Production path is the salted two-phase top-N
+    (operators/sampling.py:host_cap_topn); the oracle is the naive single
+    window, so the rewrite's equivalence is re-proven every round."""
+    from .operators.sampling import host_cap_topn
+
+    out = host_cap_topn(
+        _docs(spark, sf_dir),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        n=10,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_dup_span_strip(spark, sf_dir):
+    """Cross-document duplicate-span removal (Lee et al. 2022 style): drop
+    every word covered by a 3-gram appearing in >= 5 distinct docs. Oracle
+    is the naive materialize-every-gram SQL definition."""
+    from .operators.sampling import dup_span_strip
+
+    out = dup_span_strip(_docs(spark, sf_dir), n=3, min_df=5)
+    return out.select(
+        "doc_id",
+        "cleaned_text",
+        F.col("n_words_kept").cast("long").alias("n_words_kept"),
+        F.col("n_words_dropped").cast("long").alias("n_words_dropped"),
+    )
+
+
 QUERIES = {
     "quality_score": q_quality_score,
     "relevance_label": q_relevance_label,
@@ -1706,6 +1742,8 @@ QUERIES = {
     "whitelist_extraction": q_whitelist_extraction,
     "whitelist_timeline": q_whitelist_timeline,
     "pipeline_flagship": q_pipeline_flagship,
+    "host_cap": q_host_cap,
+    "dup_span_strip": q_dup_span_strip,
 }
 
 
@@ -1755,4 +1793,6 @@ def oracle_map() -> dict:
         "timeline_report": o2.sql_timeline_report(),
         "whitelist_extraction": o2.sql_whitelist_extraction(),
         "whitelist_timeline": o2.sql_whitelist_timeline(),
+        "host_cap": o2.sql_host_cap(n=10),
+        "dup_span_strip": o2.sql_dup_span_strip(n=3, min_df=5),
     }

@@ -1167,3 +1167,57 @@ SELECT doc_id,
   CAST(18 AS INT) AS pii_count
 FROM documents
 """
+
+
+# --- corpus-shaping operators (operators/sampling.py) -----------------------
+
+
+def sql_host_cap(n: int = 10) -> str:
+    """Single-window top-N per host — the naive plan the salted two-phase
+    production path (host_cap_topn) must equal exactly."""
+    return f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+WHERE rank <= {n}
+"""
+
+
+def sql_dup_span_strip(n: int = 3, min_df: int = 5) -> str:
+    """Naive-definition form of dup_span_strip: materialize every word
+    n-gram, keep grams in >= min_df distinct docs, drop every word any
+    frequent gram covers. Positions are 0-based to mirror Spark."""
+    span = ", ".join(f"i + {k}" for k in range(n))
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS i, array_to_string(w[i:i + {n - 1}], ' ') AS gram
+  FROM ws, unnest(range(1, greatest(len(w) - {n - 2}, 1))) AS t(i)
+),
+freq AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_df}
+),
+cov AS (
+  SELECT doc_id,
+         flatten(list(DISTINCT [{span}])) AS covered
+  FROM grams JOIN freq USING (gram) GROUP BY doc_id
+),
+kept AS (
+  SELECT ws.doc_id, w,
+    list_filter(range(0, len(w)),
+                p -> NOT list_contains(coalesce(covered, CAST([] AS BIGINT[])), p))
+      AS keep_pos
+  FROM ws LEFT JOIN cov ON ws.doc_id = cov.doc_id
+)
+SELECT doc_id,
+  array_to_string(list_transform(keep_pos, p -> w[CAST(p + 1 AS INT)]), ' ')
+    AS cleaned_text,
+  CAST(len(keep_pos) AS BIGINT) AS n_words_kept,
+  CAST(len(w) - len(keep_pos) AS BIGINT) AS n_words_dropped
+FROM kept
+"""

@@ -1,0 +1,117 @@
+"""Corpus-shaping operators (operators/sampling.py): skew-safe per-host
+top-N and cross-document duplicate-span removal.
+
+The load-bearing test is the rewrite-equivalence one: the salted two-phase
+host cap must equal the naive single-window plan on a deliberately skewed
+corpus (one mega-host), for several salt_buckets values. The dup-span tests
+pin the semantics on hand-computed cases including the <n-words guard."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scrubah_pii_spark.operators.sampling import dup_span_strip, host_cap_topn
+
+
+def _skewed_docs(spark):
+    # host "mega" has 400 docs, 9 small hosts have 5 each; scores collide
+    # heavily so the doc_id tiebreaker matters.
+    rows = []
+    for i in range(400):
+        rows.append((i, "mega", i % 7))
+    for h in range(9):
+        for j in range(5):
+            rows.append((1000 + h * 10 + j, f"h{h}", j % 3))
+    return spark.createDataFrame(rows, "doc_id long, host string, score long")
+
+
+def _naive_topn(df, n):
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+class TestHostCap:
+    def test_equals_single_window_on_skew(self, spark):
+        df = _skewed_docs(spark)
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        expected = sorted(
+            _naive_topn(df, 10).select("doc_id", "host", "rank").collect()
+        )
+        for buckets in (1, 2, 16):
+            got = sorted(
+                host_cap_topn(df, "host", order, n=10, salt_buckets=buckets)
+                .select("doc_id", "host", "rank")
+                .collect()
+            )
+            assert got == expected, f"salt_buckets={buckets} diverged"
+
+    def test_host_smaller_than_n_kept_whole(self, spark):
+        df = _skewed_docs(spark)
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        out = host_cap_topn(df, "host", order, n=10)
+        small = out.filter(F.col("host") != "mega").groupBy("host").count()
+        assert all(r["count"] == 5 for r in small.collect())
+        assert out.filter(F.col("host") == "mega").count() == 10
+
+    def test_ranks_are_dense_1_to_n(self, spark):
+        df = _skewed_docs(spark)
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        out = host_cap_topn(df, "host", order, n=10)
+        ranks = [
+            r["rank"]
+            for r in out.filter(F.col("host") == "mega")
+            .orderBy("rank")
+            .collect()
+        ]
+        assert ranks == list(range(1, 11))
+
+
+class TestDupSpanStrip:
+    def _strip(self, spark, docs, n=3, min_df=2):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in dup_span_strip(df, n=n, min_df=min_df).collect()
+        }
+
+    def test_frequent_trigram_stripped_everywhere(self, spark):
+        docs = [
+            (1, "x the quick fox y"),
+            (2, "a the quick fox b"),
+            (3, "no shared span here"),
+        ]
+        out = self._strip(spark, docs)
+        assert out[1]["cleaned_text"] == "x y"
+        assert out[1]["n_words_dropped"] == 3
+        assert out[2]["cleaned_text"] == "a b"
+        assert out[3]["cleaned_text"] == "no shared span here"
+        assert out[3]["n_words_dropped"] == 0
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        # "b c d" and "c d e" both frequent -> covered words b..e, not just
+        # one span.
+        docs = [(1, "a b c d e f"), (2, "b c d e"), (3, "zz b c d e zz2")]
+        out = self._strip(spark, docs)
+        assert out[1]["cleaned_text"] == "a f"
+        assert out[1]["n_words_kept"] == 2
+        assert out[2]["cleaned_text"] == ""
+        assert out[2]["n_words_kept"] == 0
+
+    def test_short_docs_guarded(self, spark):
+        # docs with < n words must produce zero grams (the sequence(0,-1)
+        # descending-array trap) and pass through untouched.
+        docs = [(1, "one two"), (2, "solo"), (3, "a b c"), (4, "a b c")]
+        out = self._strip(spark, docs)
+        assert out[1]["cleaned_text"] == "one two"
+        assert out[2]["cleaned_text"] == "solo"
+        assert out[3]["cleaned_text"] == ""  # "a b c" df=2 -> stripped
+
+    def test_min_df_threshold_exclusive_below(self, spark):
+        docs = [(1, "p q r s"), (2, "p q r t")]
+        # min_df=3: "p q r" appears in only 2 docs -> kept
+        out = self._strip(spark, docs, min_df=3)
+        assert out[1]["cleaned_text"] == "p q r s"
