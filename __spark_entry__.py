@@ -6,7 +6,7 @@ mapped into the input-hint shape.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
 plus the training-data ops (dedup family, ANN, text analysis, multimodal).
-43 of 44 queries carry an exact DuckDB oracle (value arithmetic mirrored
+45 of 46 queries carry an exact DuckDB oracle (value arithmetic mirrored
 down to IEEE addition order and JS int32/rounding semantics —
 scrubah_pii_spark/oracles_sql.py); only pipeline_flagship (the composition
 embedding the sequential scrub cascade) is rows-only by design, gated by the

@@ -1699,6 +1699,28 @@ def q_dup_span_strip(spark, sf_dir):
     )
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """C4-style cross-document span dedup at 5-word-chunk granularity:
+    keep the globally-first occurrence of every distinct chunk. Production
+    path is a map-side-combinable min(struct) aggregate with no window over
+    the chunk (operators/sampling.py:chunk_dedup); the oracle is the naive
+    row_number-over-chunk definition."""
+    from .operators.sampling import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_words=5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic quota downsampling of over-represented languages
+    (cap=100 docs/lang) via a portable integer-LCG hash predicate shared
+    bit-for-bit with the DuckDB oracle."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", cap=100
+    ).select("doc_id", "lang")
+
+
 QUERIES = {
     "quality_score": q_quality_score,
     "relevance_label": q_relevance_label,
@@ -1744,6 +1766,8 @@ QUERIES = {
     "pipeline_flagship": q_pipeline_flagship,
     "host_cap": q_host_cap,
     "dup_span_strip": q_dup_span_strip,
+    "chunk_dedup": q_chunk_dedup,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -1795,4 +1819,6 @@ def oracle_map() -> dict:
         "whitelist_timeline": o2.sql_whitelist_timeline(),
         "host_cap": o2.sql_host_cap(n=10),
         "dup_span_strip": o2.sql_dup_span_strip(n=3, min_df=5),
+        "chunk_dedup": o2.sql_chunk_dedup(chunk_words=5),
+        "stratified_sample": o2.sql_stratified_sample(cap=100),
     }

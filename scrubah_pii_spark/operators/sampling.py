@@ -1,9 +1,10 @@
 """Corpus-shaping operators a web-scale training-data pipeline needs and the
-reference app (a per-user browser tool) never had to: per-host document caps
-and cross-document duplicate-span removal. Both are first-class
-quality-filter stages in public CC pipelines (CCNet, C4, RefinedWeb,
-Gopher/MassiveText rules) and both are built to survive the two classic
-100 TB failure modes: host skew and hot-n-gram fan-out.
+reference app (a per-user browser tool) never had to: per-host document caps,
+cross-document duplicate-span removal, C4-style span dedup, and quota
+downsampling. All are first-class quality-filter stages in public CC
+pipelines (CCNet, C4, RefinedWeb, Gopher/MassiveText rules) and all are
+built to survive the two classic 100 TB failure modes: host/key skew and
+hot-n-gram fan-out.
 
 host_cap_topn — keep the best N documents per host. A single
 row_number() window over host is correct but funnels every document of a
@@ -123,3 +124,127 @@ def dup_span_strip(
         (F.size("ws") - F.size(kept)).alias("n_words_dropped"),
     )
     return out
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 5,
+) -> DataFrame:
+    """C4-style cross-document span dedup at fixed word-chunk granularity:
+    the corpus keeps exactly ONE occurrence of every distinct chunk — the
+    globally first one in (doc_id, chunk_pos) order — and every later
+    occurrence is dropped from its document. (C4 does this at the
+    line/3-sentence level; webtext here is single-line, so the unit is a
+    fixed chunk_words-word window — the splitter is the only thing that
+    would change in production.)
+
+    Scale shape: NO window over the chunk string (a hot chunk — boilerplate,
+    empty lines — would funnel through one task). Instead
+    groupBy(chunk).agg(min(struct(doc_id, pos))) is map-side combinable,
+    and the kept set IS that aggregate's output — one row per distinct
+    chunk, no join back to the exploded units at all. One shuffle on the
+    chunk, one on the doc id for reconstruction.
+
+    Returns id_col, cleaned_text, n_chunks_kept, n_chunks_dropped (docs
+    whose every chunk was dropped keep an empty cleaned_text row)."""
+    n_chunks = F.ceil(F.size("ws") / F.lit(chunk_words)).cast("int")
+    chunks = (
+        df.select(
+            id_col, F.split(F.col(text_col), " ").alias("ws")
+        )
+        .select(
+            id_col,
+            "ws",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("ws", i * chunk_words + 1, chunk_words), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .drop("ws")
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+    )
+    kept = first.select(
+        F.col(f"f.{id_col}").alias(id_col),
+        F.col("f.pos").alias("pos"),
+        "chunk",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_chunks_kept"),
+    )
+    totals = df.select(
+        id_col,
+        F.ceil(
+            F.size(F.split(F.col(text_col), " ")) / F.lit(chunk_words)
+        ).cast("long").alias("n_chunks"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_chunks_kept", F.lit(0)).cast("long").alias("n_chunks_kept"),
+        (F.col("n_chunks") - F.coalesce("n_chunks_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_chunks_dropped"),
+    )
+
+
+# LCG constants (glibc) for the portable sampling hash — any engine can
+# reproduce h with plain BIGINT arithmetic, so the DuckDB oracle shares the
+# exact keep/drop decision bit-for-bit.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+def sample_hash(id_col) -> "F.Column":
+    """Deterministic uniform-ish hash in [0, 2^31) from a BIGINT id using
+    one LCG step. (id % M) first so id * A stays far below int64 overflow
+    even at 10^12-row ids."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(_LCG_M)) * F.lit(_LCG_A) + F.lit(_LCG_C),
+        F.lit(_LCG_M),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample over-represented strata (language, host) to ~cap docs
+    each: keep a doc iff hash/M < cap/stratum_count, i.e. the pure-integer
+    predicate h * count < cap * M — exact, no floats, reproducible by any
+    engine. Strata at or under the cap are kept whole (expected kept count
+    for larger strata is cap; the per-doc decision is deterministic, which
+    is the property a resumable 100 TB pipeline needs — re-runs and
+    backfills keep the SAME docs).
+
+    Scale shape: counts are one map-side-combinable aggregate over the
+    stratum key; the counts table (one row per stratum) broadcasts back, so
+    the only shuffle is the count agg itself."""
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    return (
+        df.join(broadcast(counts), stratum_col)
+        .where(
+            sample_hash(id_col) * F.col("_n")
+            < F.lit(cap) * F.lit(_LCG_M)
+        )
+        .drop("_n")
+    )

@@ -1221,3 +1221,56 @@ SELECT doc_id,
   CAST(len(w) - len(keep_pos) AS BIGINT) AS n_words_dropped
 FROM kept
 """
+
+
+def sql_chunk_dedup(chunk_words: int = 5) -> str:
+    """Naive window-definition form of chunk_dedup: row_number over the
+    chunk keeps the globally-first occurrence — the exact plan shape the
+    production path avoids (hot-chunk funnel), re-proving the
+    min(struct)-aggregate rewrite."""
+    cw = chunk_words
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i * {cw} + 1):(i * {cw} + {cw})], ' ') AS chunk
+  FROM ws, unnest(range(0, CAST(ceil(len(w) / {cw}.0) AS BIGINT))) t(i)
+),
+kept AS (
+  SELECT doc_id, pos, chunk FROM (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+    FROM ch)
+  WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id,
+         array_to_string(list(chunk ORDER BY pos), ' ') AS cleaned_text,
+         count(*) AS k
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {cw}.0) AS BIGINT) AS n
+  FROM documents
+)
+SELECT tot.doc_id,
+  coalesce(cleaned_text, '') AS cleaned_text,
+  CAST(coalesce(k, 0) AS BIGINT) AS n_chunks_kept,
+  CAST(n - coalesce(k, 0) AS BIGINT) AS n_chunks_dropped
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+"""
+
+
+def sql_stratified_sample(cap: int = 100) -> str:
+    """Shares the exact integer LCG keep/drop predicate with
+    operators/sampling.py:stratified_sample (constants imported would be
+    overkill: three literals, pinned here and there by the parity test)."""
+    return f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 * n
+      < {cap} * 2147483648
+"""

@@ -115,3 +115,76 @@ class TestDupSpanStrip:
         # min_df=3: "p q r" appears in only 2 docs -> kept
         out = self._strip(spark, docs, min_df=3)
         assert out[1]["cleaned_text"] == "p q r s"
+
+
+class TestChunkDedup:
+    def _run(self, spark, docs, cw=2):
+        from scrubah_pii_spark.operators.sampling import chunk_dedup
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=cw).collect()}
+
+    def test_first_occurrence_wins_globally(self, spark):
+        # 2-word chunks: doc1 = [a b][c d]; doc2 = [a b][x y]
+        out = self._run(spark, [(1, "a b c d"), (2, "a b x y")])
+        assert out[1]["cleaned_text"] == "a b c d"
+        assert out[2]["cleaned_text"] == "x y"
+        assert out[2]["n_chunks_dropped"] == 1
+
+    def test_doc_fully_dropped_keeps_empty_row(self, spark):
+        out = self._run(spark, [(1, "a b c d"), (2, "a b"), (3, "c d")])
+        assert out[2]["cleaned_text"] == ""
+        assert out[2]["n_chunks_kept"] == 0
+        assert out[2]["n_chunks_dropped"] == 1
+        assert out[3]["cleaned_text"] == ""
+
+    def test_within_doc_duplicate_chunk_dropped(self, spark):
+        out = self._run(spark, [(1, "a b a b c d")])
+        assert out[1]["cleaned_text"] == "a b c d"
+        assert out[1]["n_chunks_dropped"] == 1
+
+    def test_partial_tail_chunk(self, spark):
+        # 5 words, cw=2 -> chunks [a b][c d][e]; [e] unique
+        out = self._run(spark, [(1, "a b c d e")])
+        assert out[1]["cleaned_text"] == "a b c d e"
+        assert out[1]["n_chunks_kept"] == 3
+
+
+class TestStratifiedSample:
+    def _df(self, spark):
+        rows = [(i, "big") for i in range(200)] + [
+            (1000 + i, "small") for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_matches_python_lcg_exactly(self, spark):
+        from scrubah_pii_spark.operators.sampling import (
+            _LCG_A, _LCG_C, _LCG_M, stratified_sample,
+        )
+
+        df = self._df(spark)
+        got = sorted(
+            r["doc_id"]
+            for r in stratified_sample(df, "lang", cap=50).collect()
+        )
+        def h(i):
+            return ((i % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
+        want = sorted(
+            [i for i in range(200) if h(i) * 200 < 50 * _LCG_M]
+            + [1000 + i for i in range(20)]  # under cap: kept whole
+        )
+        assert got == want
+
+    def test_deterministic_across_runs(self, spark):
+        from scrubah_pii_spark.operators.sampling import stratified_sample
+
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in stratified_sample(df, "lang", 50).collect())
+        b = sorted(r["doc_id"] for r in stratified_sample(df, "lang", 50).collect())
+        assert a == b and len(a) > 0
+
+    def test_under_cap_stratum_kept_whole(self, spark):
+        from scrubah_pii_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(self._df(spark), "lang", cap=50)
+        assert out.filter("lang = 'small'").count() == 20
