@@ -72,7 +72,24 @@ class LangIdConfig:
 
 
 @dataclass(frozen=True)
+class ShapingConfig:
+    """Optional corpus-shaping applied to the pipeline OUTPUT (after dedup
+    and leak-check, before the sink) — the training-data-mix controls a CC
+    pipeline runs last. Both default OFF (0) so the byte-identical output
+    goldens are unaffected unless a run opts in.
+
+    host_cap_n: keep only the best N docs per host (relevance desc, url/ts
+    tiebreak) via the skew-safe salted two-phase top-N.
+    lang_cap: deterministic per-language quota downsampling (integer-LCG
+    predicate over xxhash64(url, warc_ts) — re-runs/backfills keep the
+    SAME docs)."""
+    host_cap_n: int = 0
+    lang_cap: int = 0
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
+    shaping: "ShapingConfig" = field(default_factory=lambda: ShapingConfig())
     scrub: ScrubConfig = field(default_factory=ScrubConfig)
     quality: QualityConfig = field(default_factory=QualityConfig)
     relevance: RelevanceConfig = field(default_factory=RelevanceConfig)

@@ -228,6 +228,7 @@ def finish_pipeline(
         "content_hash", "simhash", "doc_type",
         "similarity", "difference_type", "pii_leak",
     )
+    output = shape_output(output, cfg.shaping)
 
     metrics = (
         with_partition_cols(labeled)
@@ -246,6 +247,40 @@ def finish_pipeline(
     )
 
     return PipelineResult(output=output, labeled=labeled, metrics=metrics)
+
+
+def shape_output(output: DataFrame, shaping) -> DataFrame:
+    """Optional corpus-shaping on the pipeline output (ShapingConfig; both
+    stages default off — schema is unchanged either way). Host cap first
+    (bounds any one host's contribution), then the language quota (fixes
+    the corpus mix over what survived the cap)."""
+    from ..operators.sampling import host_cap_topn, stratified_sample
+
+    cols = output.columns  # joins reorder columns; restore at the end
+    if getattr(shaping, "host_cap_n", 0):
+        output = host_cap_topn(
+            output,
+            "host",
+            [
+                F.col("relevance_score").desc_nulls_last(),
+                F.col("url").asc(),
+                F.col("warc_ts").asc(),
+            ],
+            n=shaping.host_cap_n,
+            id_col="url",
+        ).drop("rank")
+    if getattr(shaping, "lang_cap", 0):
+        sid = F.pmod(F.xxhash64("url", "warc_ts"), F.lit(2**31))
+        output = (
+            stratified_sample(
+                output.withColumn("_sid", sid),
+                "lang_pred",
+                cap=shaping.lang_cap,
+                id_col="_sid",
+            )
+            .drop("_sid")
+        )
+    return output.select(cols)
 
 
 def lineage_table(labeled: DataFrame) -> DataFrame:

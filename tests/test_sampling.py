@@ -6,6 +6,7 @@ host cap must equal the naive single-window plan on a deliberately skewed
 corpus (one mega-host), for several salt_buckets values. The dup-span tests
 pin the semantics on hand-computed cases including the <n-words guard."""
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -188,3 +189,56 @@ class TestStratifiedSample:
 
         out = stratified_sample(self._df(spark), "lang", cap=50)
         assert out.filter("lang = 'small'").count() == 20
+
+
+class TestPipelineShaping:
+    """shape_output: default-off must be a no-op (the byte-identical output
+    goldens depend on it); opted-in caps must bound hosts/langs and stay
+    deterministic across runs."""
+
+    @pytest.fixture(scope="class")
+    def base(self, webpages):
+        from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(webpages)
+        rows = sorted(
+            (r["url"], r["warc_ts"]) for r in res.output.collect()
+        )
+        return res, rows
+
+    def test_default_off_is_noop(self, webpages, base):
+        from scrubah_pii_spark.config import PipelineConfig
+        from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+        _, rows = base
+        res2 = run_pipeline(webpages, PipelineConfig())
+        rows2 = sorted((r["url"], r["warc_ts"]) for r in res2.output.collect())
+        assert rows2 == rows
+
+    def test_host_cap_bounds_every_host(self, webpages):
+        from scrubah_pii_spark.config import PipelineConfig, ShapingConfig
+        from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+        cfg = PipelineConfig(shaping=ShapingConfig(host_cap_n=3))
+        out = run_pipeline(webpages, cfg).output
+        per_host = out.groupBy("host").count().collect()
+        assert len(per_host) > 0
+        assert all(r["count"] <= 3 for r in per_host)
+        # schema unchanged by shaping
+        assert out.columns[:5] == ["url", "warc_ts", "crawl_date", "url_bucket", "host"]
+
+    def test_lang_cap_deterministic_and_bounded_in_expectation(self, webpages, base):
+        from scrubah_pii_spark.config import PipelineConfig, ShapingConfig
+        from scrubah_pii_spark.plans.pipeline import run_pipeline
+
+        _, rows = base
+        cfg = PipelineConfig(shaping=ShapingConfig(lang_cap=5))
+        a = run_pipeline(webpages, cfg).output
+        rows_a = sorted((r["url"], r["warc_ts"]) for r in a.collect())
+        rows_b = sorted(
+            (r["url"], r["warc_ts"])
+            for r in run_pipeline(webpages, cfg).output.collect()
+        )
+        assert rows_a == rows_b          # deterministic keep/drop
+        assert set(rows_a) <= set(rows)  # strictly a subset of the unshapen output
+        assert len(rows_a) <= len(rows)
