@@ -88,6 +88,9 @@ def fnv1a64_hex(s: str) -> str:
     return format(h, "016x")
 
 
+_FNV_INV_PRIME = pow(_FNV_PRIME, -1, 1 << 64)  # p is odd -> invertible mod 2^64
+
+
 def fnv1a64_hex_batch(strings, max_vectorized_len: int = 4096) -> list:
     """Vectorized FNV-1a-64 across a batch: pad code points into an (n, L)
     uint64 matrix, iterate character POSITIONS (not strings) updating the
@@ -106,35 +109,57 @@ def fnv1a64_hex_batch(strings, max_vectorized_len: int = 4096) -> list:
     if n == 0:
         return []
     out: list = [None] * n
-    vec_idx, cps, lens_l = [], [], []
+    vec_idx, vec_strs, lens_l = [], [], []
     for i, s in enumerate(strs):
         if len(s) > max_vectorized_len:
             out[i] = fnv1a64_hex(s)
             continue
-        if s:
-            try:
-                cps.append(np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32))
-            except UnicodeEncodeError:
-                out[i] = fnv1a64_hex(s)  # lone surrogates: scalar ord() path
-                continue
-        else:
-            cps.append(np.empty(0, dtype=np.uint32))
         vec_idx.append(i)
+        vec_strs.append(s)
         lens_l.append(len(s))
     if vec_idx:
+        try:
+            # ONE encode of the whole batch (the per-string encode loop was
+            # the dominant cost at ~15us/string)
+            flat = np.frombuffer(
+                "".join(vec_strs).encode("utf-32-le"), dtype=np.uint32
+            )
+        except UnicodeEncodeError:
+            # lone surrogates somewhere in the batch (rare): scalar ord()
+            # path for the whole vectorized subset
+            for i, s in zip(vec_idx, vec_strs):
+                out[i] = fnv1a64_hex(s)
+            return out
         lens = np.array(lens_l, dtype=np.int64)
         max_len = int(lens.max())
-        h = np.full(len(vec_idx), _FNV_OFFSET, dtype=np.uint64)
+        nvec = len(vec_idx)
+        h = np.full(nvec, _FNV_OFFSET, dtype=np.uint64)
         if max_len > 0:
-            cp = np.zeros((len(vec_idx), max_len), dtype=np.uint64)
-            for row, arr in enumerate(cps):
-                if len(arr):
-                    cp[row, : len(arr)] = arr
+            # Maskless formulation: run EVERY row through all max_len steps
+            # (padded positions are 0, so each pad step is h=(h^0)*p = h*p),
+            # then strip the surplus multiplications with p^-1 mod 2^64 —
+            # p is odd, so the multiply is invertible. The loop body is two
+            # contiguous vector ops; the per-position boolean-mask variant
+            # this replaces paid two fancy-index COPIES per step (~10x).
+            cp = np.zeros((max_len, nvec), dtype=np.uint64)  # position-major
+            rows = np.repeat(np.arange(nvec), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_in_str = np.arange(int(lens.sum())) - np.repeat(starts, lens)
+            cp[pos_in_str, rows] = flat  # one scatter for the whole batch
             prime = np.uint64(_FNV_PRIME)
             with np.errstate(over="ignore"):
                 for pos in range(max_len):
-                    active = lens > pos
-                    h[active] = (h[active] ^ cp[active, pos]) * prime
+                    h ^= cp[pos]
+                    h *= prime
+                # h_true = h_full * inv^(max_len - len): vectorized binary
+                # exponentiation over the per-row pad count
+                e = (max_len - lens).astype(np.uint64)
+                b = np.full(nvec, _FNV_INV_PRIME, dtype=np.uint64)
+                while e.any():
+                    odd = (e & np.uint64(1)).astype(bool)
+                    h[odd] *= b[odd]
+                    e >>= np.uint64(1)
+                    b *= b
         for row, i in enumerate(vec_idx):
             out[i] = format(int(h[row]), "016x")
     return out

@@ -164,13 +164,12 @@ def _ngram_corpus_raw(
     df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
     fingerprints=None,
 ):
-    lines = _lines(df, text_col, url_col)
-    # ONE action for both corpus-sized scalars (doc count + avg doc lines)
-    stats = (
-        lines.groupBy("_url").agg((F.max("pos") + 1).alias("n"))
-        .agg(F.count("*").alias("docs"), F.avg("n").alias("avg_lines"))
-        .collect()[0]
-    )
+    # ONE action for both corpus-sized scalars (doc count + avg doc lines);
+    # lines-per-doc == size(split(text)) natively — no explode/groupBy pass
+    stats = df.agg(
+        F.count("*").alias("docs"),
+        F.avg(F.size(F.split(F.col(text_col), "\n"))).alias("avg_lines"),
+    ).collect()[0]
     n_docs, avg_doc_lines = int(stats["docs"]), float(stats["avg_lines"] or 0.0)
     if n_docs < min_docs:
         return None, n_docs
@@ -202,16 +201,16 @@ def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
     dimension-sized, so this is a driver-side fold like the reference's."""
     spark = corpus.sparkSession
     # the corpus is dimension-sized by construction (template threshold is a
-    # FRACTION of docs); guard BEFORE collecting so a misconfigured
-    # threshold can't pull an unbounded frame onto the driver
-    n_corpus = corpus.limit(100_001).count()
-    assert n_corpus <= 100_000, (
-        f"template corpus unexpectedly large (>{n_corpus - 1} rows) — "
+    # FRACTION of docs); the limit guards the driver against a misconfigured
+    # threshold, and ONE action does guard + fetch (the former separate
+    # count() re-ran the whole upstream grouping). Ordering is applied
+    # locally — same (size desc, count desc, hash asc) total order.
+    rows = corpus.limit(100_001).collect()
+    assert len(rows) <= 100_000, (
+        f"template corpus unexpectedly large (>{len(rows) - 1} rows) — "
         "check template_threshold/min_docs_for_template"
     )
-    rows = corpus.orderBy(
-        F.desc("ngram_size"), F.desc("doc_count"), F.asc("hash")
-    ).collect()
+    rows.sort(key=lambda r: (-r["ngram_size"], -r["doc_count"], r["hash"]))
     kept, used = [], []
     for r in rows:
         norm = r["sample"]
@@ -310,7 +309,6 @@ def strip_ngram_templates(
     )
 
     lines = _lines(df, text_col, url_col)
-    n_lines = lines.groupBy("_url").agg((F.max("pos") + 1).alias("_n_lines"))
     uniq = (
         lines.join(covered, ["_url", "pos"], "left_anti")
         .groupBy("_url")
@@ -324,7 +322,9 @@ def strip_ngram_templates(
     out = (
         df.join(uniq.withColumnRenamed("_url", url_col), url_col, "left")
         .join(refs.withColumnRenamed("_url", url_col), url_col, "left")
-        .join(n_lines.withColumnRenamed("_url", url_col), url_col, "left")
+        # lines-per-doc natively from the text itself — the former
+        # groupBy(max(pos)+1) + third join was a whole extra shuffle
+        .withColumn("_n_lines", F.size(F.split(F.col(text_col), "\n")))
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .withColumn("unique_lines", F.coalesce(
             F.col("unique_lines"),
