@@ -82,3 +82,14 @@ def test_extract_total_on_bytes(b):
     out = extract_text(b)
     assert isinstance(out, str)
     assert isinstance(clean_final_output(out), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=300), max_size=30))
+def test_fnv_batch_kernel_bit_identical_to_scalar(batch):
+    """The maskless numpy batch kernel (padding stripped via the prime's
+    modular inverse) must match the scalar fold on ARBITRARY unicode
+    batches — mixed lengths, empties, astral-plane chars."""
+    from scrubah_pii_spark.core.hashing import fnv1a64_hex_batch
+
+    assert fnv1a64_hex_batch(batch) == [fnv1a64_hex(s) for s in batch]
