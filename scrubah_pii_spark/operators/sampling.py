@@ -71,9 +71,13 @@ def dup_span_strip(
 ) -> DataFrame:
     """Strip every word covered by an n-gram that appears in >= min_df
     distinct documents. Returns id_col plus cleaned_text / n_words_kept /
-    n_words_dropped. Word = split on single space (corpus contract)."""
+    n_words_dropped. Word = split on single space (corpus contract).
+    NULL text is treated as '' — without the coalesce, split(NULL) gives a
+    NULL array whose size is -1 under legacy sizeOfNull, and
+    sequence(0, -2) silently produces the DESCENDING [0,-1,-2]."""
     words = df.select(
-        id_col, F.split(F.col(text_col), " ").alias("ws")
+        id_col,
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("ws"),
     )
     n_grams = F.greatest(F.size("ws") - (n - 1), F.lit(0))
     # sequence(0, -1) would produce a DESCENDING [0, -1] for docs shorter
@@ -150,9 +154,12 @@ def chunk_dedup(
     Returns id_col, cleaned_text, n_chunks_kept, n_chunks_dropped (docs
     whose every chunk was dropped keep an empty cleaned_text row)."""
     n_chunks = F.ceil(F.size("ws") / F.lit(chunk_words)).cast("int")
+    # NULL text -> '' so size(ws) is 1, never the legacy -1 that would feed
+    # sequence(0, -2) a descending range (same guard as dup_span_strip).
     chunks = (
         df.select(
-            id_col, F.split(F.col(text_col), " ").alias("ws")
+            id_col,
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("ws"),
         )
         .select(
             id_col,
@@ -189,7 +196,8 @@ def chunk_dedup(
     totals = df.select(
         id_col,
         F.ceil(
-            F.size(F.split(F.col(text_col), " ")) / F.lit(chunk_words)
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+            / F.lit(chunk_words)
         ).cast("long").alias("n_chunks"),
     )
     return totals.join(rebuilt, id_col, "left").select(
@@ -227,9 +235,15 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Downsample over-represented strata (language, host) to ~cap docs
-    each: keep a doc iff hash/M < cap/stratum_count, i.e. the pure-integer
-    predicate h * count < cap * M — exact, no floats, reproducible by any
-    engine. Strata at or under the cap are kept whole (expected kept count
+    each: keep a doc iff hash/M < cap/stratum_count. The pure-integer form
+    h * count < cap * M overflows int64 once a stratum exceeds ~2^32 rows
+    (h < 2^31, so the product passes 2^63 and Spark's non-ANSI arithmetic
+    wraps silently) — exactly the 100 TB regime this module targets. The
+    predicate is therefore evaluated product-free as
+        h <= (cap * M - 1) div count
+    which is the same integer condition (h*n < C  <=>  h <= (C-1) div n for
+    n >= 1, h >= 0), exact, no floats, reproducible by any engine, and safe
+    for any stratum size. Strata at or under the cap are kept whole (expected kept count
     for larger strata is cap; the per-doc decision is deterministic, which
     is the property a resumable 100 TB pipeline needs — re-runs and
     backfills keep the SAME docs).
@@ -239,12 +253,14 @@ def stratified_sample(
     the only shuffle is the count agg itself."""
     from pyspark.sql.functions import broadcast
 
+    if cap < 0 or cap >= (2**63 - 1) // _LCG_M:
+        raise ValueError(f"cap={cap} out of range: cap * 2^31 must fit int64")
+    # largest hash value kept for a stratum of size n is (cap*M - 1) div n;
+    # `div` is Spark SQL integer division — no h*n product, no overflow.
+    _c = cap * _LCG_M - 1
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
     return (
         df.join(broadcast(counts), stratum_col)
-        .where(
-            sample_hash(id_col) * F.col("_n")
-            < F.lit(cap) * F.lit(_LCG_M)
-        )
+        .where(sample_hash(id_col) <= F.expr(f"{_c} div _n"))
         .drop("_n")
     )

@@ -165,9 +165,12 @@ def _ngram_corpus_raw(
     fingerprints=None,
 ):
     # ONE action for both corpus-sized scalars (doc count + avg doc lines);
-    # lines-per-doc == size(split(text)) natively — no explode/groupBy pass
-    stats = df.agg(
-        F.count("*").alias("docs"),
+    # lines-per-doc == size(split(text)) natively — no explode/groupBy pass.
+    # NULL-text rows are excluded (they used to be absent from the
+    # posexplode-era aggregate; size(split(NULL)) would contribute -1) and
+    # docs counts DISTINCT urls, matching the old groupBy('_url') semantics.
+    stats = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count_distinct(F.col(url_col)).alias("docs"),
         F.avg(F.size(F.split(F.col(text_col), "\n"))).alias("avg_lines"),
     ).collect()[0]
     n_docs, avg_doc_lines = int(stats["docs"]), float(stats["avg_lines"] or 0.0)
@@ -206,10 +209,14 @@ def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
     # count() re-ran the whole upstream grouping). Ordering is applied
     # locally — same (size desc, count desc, hash asc) total order.
     rows = corpus.limit(100_001).collect()
-    assert len(rows) <= 100_000, (
-        f"template corpus unexpectedly large (>{len(rows) - 1} rows) — "
-        "check template_threshold/min_docs_for_template"
-    )
+    # explicit raise, not assert: `python -O` strips asserts, and a stripped
+    # guard would silently truncate the corpus to an arbitrary 100,001-row
+    # subset before overlap dedup.
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"template corpus unexpectedly large (>{len(rows) - 1} rows) — "
+            "check template_threshold/min_docs_for_template"
+        )
     rows.sort(key=lambda r: (-r["ngram_size"], -r["doc_count"], r["hash"]))
     kept, used = [], []
     for r in rows:
@@ -323,8 +330,16 @@ def strip_ngram_templates(
         df.join(uniq.withColumnRenamed("_url", url_col), url_col, "left")
         .join(refs.withColumnRenamed("_url", url_col), url_col, "left")
         # lines-per-doc natively from the text itself — the former
-        # groupBy(max(pos)+1) + third join was a whole extra shuffle
-        .withColumn("_n_lines", F.size(F.split(F.col(text_col), "\n")))
+        # groupBy(max(pos)+1) + third join was a whole extra shuffle.
+        # when() keeps NULL text -> NULL _n_lines -> NULL coverage (legacy
+        # sizeOfNull would otherwise make size(split(NULL)) = -1).
+        .withColumn(
+            "_n_lines",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(F.split(F.col(text_col), "\n")),
+            ),
+        )
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
         .withColumn("unique_lines", F.coalesce(
             F.col("unique_lines"),

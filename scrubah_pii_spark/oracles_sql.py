@@ -1271,6 +1271,6 @@ SELECT doc_id, lang
 FROM (
   SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS n
   FROM documents)
-WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 * n
-      < {cap} * 2147483648
+WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+      <= ({cap} * 2147483648 - 1) // n
 """

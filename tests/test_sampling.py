@@ -242,3 +242,65 @@ class TestPipelineShaping:
         assert rows_a == rows_b          # deterministic keep/drop
         assert set(rows_a) <= set(rows)  # strictly a subset of the unshapen output
         assert len(rows_a) <= len(rows)
+
+
+class TestNullTextGuards:
+    """NULL text must behave as '' (round-6 fix): without the coalesce,
+    size(split(NULL)) = -1 under legacy sizeOfNull and sequence(0, -2)
+    silently yields a DESCENDING range, producing garbage rows."""
+
+    def test_dup_span_strip_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in dup_span_strip(df, n=3, min_df=2).collect()}
+        assert out[1]["cleaned_text"] == ""
+        assert out[1]["n_words_dropped"] == 0
+        assert out[1]["n_words_kept"] >= 0
+
+    def test_chunk_dedup_null_text(self, spark):
+        from scrubah_pii_spark.operators.sampling import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c d")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=2).collect()}
+        assert out[1]["cleaned_text"] == ""
+        assert out[1]["n_chunks_dropped"] >= 0
+        assert out[2]["cleaned_text"] == "a b c d"
+
+
+class TestStratifiedSampleOverflow:
+    """The keep predicate must not form h * n (int64 overflow once a stratum
+    exceeds ~2^32 rows). The div form h <= (cap*M - 1) div n is the same
+    integer condition for every n >= 1, h in [0, M)."""
+
+    def test_div_identity_exhaustive_boundaries(self):
+        from scrubah_pii_spark.operators.sampling import _LCG_M
+
+        cap = 100
+        c = cap * _LCG_M
+        for n in (1, 2, 99, 100, 101, 2**31, 2**32, 10**12, 10**13):
+            thr = (c - 1) // n
+            # boundary hashes around the threshold plus the extremes
+            for h in {0, 1, thr - 1, thr, thr + 1, _LCG_M - 1} - {-1}:
+                if h < 0 or h >= _LCG_M:
+                    continue
+                assert (h <= thr) == (h * n < c), (n, h)
+
+    def test_spark_predicate_free_of_product(self, spark):
+        # the physical plan must not multiply the hash by _n
+        from scrubah_pii_spark.operators.sampling import stratified_sample
+
+        rows = [(i, "x") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        plan = stratified_sample(df, "lang", cap=10)._jdf.queryExecution().optimizedPlan().toString()
+        assert "div" in plan
+        assert "* _n" not in plan and "_n *" not in plan
+
+    def test_cap_range_guard(self, spark):
+        from scrubah_pii_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+        with pytest.raises(ValueError):
+            stratified_sample(df, "lang", cap=2**33)
