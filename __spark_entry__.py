@@ -6,12 +6,15 @@ mapped into the input-hint shape.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
 plus the training-data ops (dedup family, ANN, text analysis, multimodal).
-45 of 46 queries carry an exact DuckDB oracle (value arithmetic mirrored
-down to IEEE addition order and JS int32/rounding semantics —
-scrubah_pii_spark/oracles_sql.py); only pipeline_flagship (the composition
-embedding the sequential scrub cascade) is rows-only by design, gated by the
-JS-parity harness + committed sf0.01/sf0.1 goldens + fuzz suites + per-stage
-oracles instead.
+All 46 queries carry a DuckDB oracle: 45 are exact value-arithmetic mirrors
+(down to IEEE addition order and JS int32/rounding semantics —
+scrubah_pii_spark/oracles_sql.py); pipeline_flagship (the composition
+embedding the sequential scrub cascade) uses an expected-output oracle — the
+committed full-row golden at the driver's correctness sf
+(tests/golden/flagship_oracle_sf001.json, regenerated only for deliberate
+semantic changes via tools/gen_flagship_oracle.py), itself gated by the
+JS-parity harness + url-keyed sf0.01/sf0.1 hash goldens + fuzz suites +
+per-stage oracles.
 """
 
 from __future__ import annotations

@@ -1821,4 +1821,7 @@ def oracle_map() -> dict:
         "dup_span_strip": o2.sql_dup_span_strip(n=3, min_df=5),
         "chunk_dedup": o2.sql_chunk_dedup(chunk_words=5),
         "stratified_sample": o2.sql_stratified_sample(cap=100),
+        # expected-output oracle: committed full-row golden at the driver's
+        # correctness sf (0.01); see tools/gen_flagship_oracle.py
+        "pipeline_flagship": o2.sql_pipeline_flagship(),
     }

@@ -1262,6 +1262,27 @@ FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
 """
 
 
+def sql_pipeline_flagship(
+    golden_path: str = "/root/repo/tests/golden/flagship_oracle_sf001.json",
+) -> str:
+    """Expected-output oracle for the full pipeline: the committed full-row
+    golden at the driver's correctness sf (0.01), regenerated only for
+    deliberate semantic changes (tools/gen_flagship_oracle.py; the url-keyed
+    hash goldens + JS scrub parity + per-stage oracles gate the semantics
+    themselves). Explicit columns pin DuckDB types to the Spark schema."""
+    return f"""
+SELECT url, scrubbed_text, pii_count, lang_pred, quality_score,
+       relevance_score, recommendation, content_hash, simhash,
+       difference_type
+FROM read_json('{golden_path}', format='array', columns={{
+  'url': 'VARCHAR', 'scrubbed_text': 'VARCHAR', 'pii_count': 'INTEGER',
+  'lang_pred': 'VARCHAR', 'quality_score': 'DOUBLE',
+  'relevance_score': 'DOUBLE', 'recommendation': 'VARCHAR',
+  'content_hash': 'VARCHAR', 'simhash': 'BIGINT',
+  'difference_type': 'VARCHAR'}})
+"""
+
+
 def sql_stratified_sample(cap: int = 100) -> str:
     """Shares the exact integer LCG keep/drop predicate with
     operators/sampling.py:stratified_sample (constants imported would be
