@@ -23,9 +23,11 @@ documents (the n-gram-granular form of exact-substring dedup, Lee et al.
 2022 "Deduplicating Training Data Makes Language Models Better"). Shape:
 explode n-gram starts -> doc-frequency per gram (map-side-combinable
 distinct count) -> join back the frequent grams only -> per-doc covered-word
-mask evaluated with array expressions (no second explode). The gram join
-shuffles on the gram string; the frequent-gram side is tiny by construction
-(df >= min_df collapses it) so AQE broadcasts it at runtime.
+mask evaluated with array expressions (no second explode), linear via an
+array_except hash-difference of positions (O(words + starts) per doc even
+when every gram is frequent). The gram join shuffles on the gram string;
+the frequent-gram side is tiny by construction (df >= min_df collapses it)
+so AQE broadcasts it at runtime.
 """
 
 from __future__ import annotations
@@ -108,20 +110,20 @@ def dup_span_strip(
     joined = words.join(starts, id_col, "left").withColumn(
         "starts", F.coalesce("starts", F.array().cast("array<int>"))
     )
-    covered = lambda p: F.exists(  # noqa: E731
-        "starts", lambda i: (i <= p) & (p <= i + (n - 1))
+    # Linear coverage mask, O(words + starts): expand each start into its
+    # n covered positions (a <= 3x-starts multiset — no interval merge
+    # needed), then array_except's hash-set difference yields the kept
+    # positions in document order. The former per-position exists() over
+    # the starts array was O(words x starts) — quadratic per doc exactly
+    # when most grams are frequent (boilerplate pages at 100 TB).
+    covered = F.flatten(
+        F.transform("starts", lambda i: F.sequence(i, i + (n - 1)))
     )
-    kept = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ws") - 1),
-            lambda p: F.struct(p.alias("p"), covered(p).alias("c")),
-        ),
-        lambda s: ~s["c"],
-    )
+    kept = F.array_except(F.sequence(F.lit(0), F.size("ws") - 1), covered)
     out = joined.select(
         id_col,
         F.array_join(
-            F.transform(kept, lambda s: F.element_at("ws", s["p"] + 1)),
+            F.transform(kept, lambda p: F.element_at("ws", p + 1)),
             " ",
         ).alias("cleaned_text"),
         F.size(kept).alias("n_words_kept"),

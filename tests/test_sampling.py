@@ -304,3 +304,33 @@ class TestStratifiedSampleOverflow:
         df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
         with pytest.raises(ValueError):
             stratified_sample(df, "lang", cap=2**33)
+
+
+class TestDupSpanStripLinear:
+    """Round-6 rewrite: the coverage mask must stay linear per doc. The old
+    per-position exists() was O(words x starts); an all-frequent-grams doc
+    with 50k words would take minutes. Keep a generous wall bound so the
+    test only fails if the quadratic shape returns."""
+
+    def test_all_frequent_grams_doc_completes_fast(self, spark):
+        import time
+
+        body = " ".join(["tok%d" % (i % 40) for i in range(50_000)])
+        # 5 identical huge docs -> every 3-gram has df=5 >= min_df
+        df = spark.createDataFrame(
+            [(i, body) for i in range(5)], "doc_id long, text string"
+        )
+        t0 = time.monotonic()
+        out = {r["doc_id"]: r for r in dup_span_strip(df, n=3, min_df=5).collect()}
+        wall = time.monotonic() - t0
+        assert out[1]["cleaned_text"] == ""
+        assert out[1]["n_words_dropped"] == 50_000
+        assert wall < 60, f"coverage mask no longer linear: {wall:.1f}s"
+
+    def test_kept_positions_stay_in_document_order(self, spark):
+        # frequent gram in the MIDDLE: order of survivors must be stable
+        docs = [(i, f"u{i} a b c v{i} w{i}") for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dup_span_strip(df, n=3, min_df=5).collect()}
+        assert out[2]["cleaned_text"] == "u2 v2 w2"
+        assert out[2]["n_words_kept"] == 3
