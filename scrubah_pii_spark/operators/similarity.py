@@ -280,37 +280,78 @@ def lsh_cosine_pairs_fast(
 
     boundaries = sorted({threshold, 0.85, 0.95})
 
+    def _tier(c):
+        return (
+            "duplicate" if c >= 0.95
+            else "similar" if c >= 0.85
+            else "related"
+        )
+
     def pair_bucket(pdf):
+        # Collapse identical embeddings BEFORE the gram matrix: a
+        # mega-cluster of identical docs (scrubbed boilerplate — the common
+        # webtext case) must cost O(g^2) in DISTINCT vectors, not O(m^2) in
+        # members; the (unavoidably pairwise) output is expanded from group
+        # edges afterward. Bit-parity with the old all-rows gram is free:
+        # identical rows produced identical gram entries, and the
+        # within-group cosine equals the representative's diagonal entry.
         ids = pdf[id_col].to_numpy()
-        vecs = [list(v) for v in pdf[vec_col]]
         n = len(ids)
         if n < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine", "tier"])
+        vecs = [list(v) for v in pdf[vec_col]]
         V = np.array(vecs, dtype=np.float64)
-        norms = np.sqrt((V * V).sum(axis=1))
-        G = V @ V.T
+        groups: dict[bytes, list[int]] = {}
+        for idx in range(n):
+            groups.setdefault(V[idx].tobytes(), []).append(idx)
+        reps = [m[0] for m in groups.values()]
+        members = [sorted(int(ids[i]) for i in m) for m in groups.values()]
+        R = V[reps]
+        norms = np.sqrt((R * R).sum(axis=1))
+        G = R @ R.T
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
             C = np.where(denom > 0, G / denom, 0.0)
-        iu, ju = np.triu_indices(n, k=1)
-        cos = C[iu, ju]
-        cand = cos >= threshold - 1e-9
+        g = len(reps)
         rows = []
-        for i, j, c in zip(iu[cand], ju[cand], cos[cand]):
+
+        def decide(c, ri, rj):
+            """Boundary-aware final cosine for a rep pair, or None to drop."""
             near_boundary = any(abs(c - b) < 1e-9 for b in boundaries)
             frac = (c * 1e6) % 1.0
             near_round_edge = abs(frac - 0.5) < 1e-6
             if near_boundary or near_round_edge:
-                c = _exact_cos(vecs[i], vecs[j])  # exact fold decides
+                c = _exact_cos(vecs[ri], vecs[rj])  # exact fold decides
             if c < threshold:
+                return None
+            return math.floor(c * 1e6 + 0.5) / 1e6
+
+        # within-group pairs: one decision per group, applied to all pairs
+        for gi in range(g):
+            mem = members[gi]
+            if len(mem) < 2:
                 continue
-            tier = (
-                "duplicate" if c >= 0.95
-                else "similar" if c >= 0.85
-                else "related"
-            )
-            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-            rows.append((int(a), int(b), math.floor(c * 1e6 + 0.5) / 1e6, tier))
+            c = decide(C[gi, gi], reps[gi], reps[gi])
+            if c is None:
+                continue
+            t = _tier(c)
+            for x in range(len(mem)):
+                for y in range(x + 1, len(mem)):
+                    rows.append((mem[x], mem[y], c, t))
+        # cross-group pairs: one gram entry + decision per group PAIR
+        if g >= 2:
+            iu, ju = np.triu_indices(g, k=1)
+            cos = C[iu, ju]
+            cand = cos >= threshold - 1e-9
+            for gi, gj, c0 in zip(iu[cand], ju[cand], cos[cand]):
+                c = decide(c0, reps[gi], reps[gj])
+                if c is None:
+                    continue
+                t = _tier(c)
+                for a in members[gi]:
+                    for b in members[gj]:
+                        lo, hi = (a, b) if a < b else (b, a)
+                        rows.append((lo, hi, c, t))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine", "tier"])
 
     sig_schema = f"{id_col} long, {vec_col} array<float>, _sig string"

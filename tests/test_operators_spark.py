@@ -357,6 +357,45 @@ class TestClustering:
         }
         assert fast == slow and len(fast) > 0
 
+    def test_fast_cosine_pairs_identical_mega_cluster(self, spark):
+        """Round-6: identical embeddings are collapsed to one gram row per
+        DISTINCT vector; a mega-cluster of identical docs must still emit
+        every within-cluster pair (cosine 1.0, duplicate) and match the
+        expression path exactly."""
+        import numpy as np
+
+        from scrubah_pii_spark.operators.similarity import (
+            cosine_pairs,
+            lsh_cosine_pairs_fast,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(7)
+        boiler = [float(x) for x in rng.standard_normal(16)]
+        vecs = [(i, list(boiler)) for i in range(30)]  # identical cluster
+        vecs += [
+            (100 + i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(10)
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+        fast = {
+            (r["id_a"], r["id_b"], r["cosine"], r["tier"])
+            for r in lsh_cosine_pairs_fast(
+                emb, threshold=0.5, n_planes=4, dim=16
+            ).collect()
+        }
+        slow = {
+            (r["id_a"], r["id_b"], r["cosine"], r["tier"])
+            for r in cosine_pairs(emb, threshold=0.5, exact=False, n_planes=4, dim=16)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"), "tier")
+            .collect()
+        }
+        assert fast == slow
+        within = {p for p in fast if p[0] < 30 and p[1] < 30}
+        assert len(within) == 30 * 29 // 2
+        assert all(p[2] == 1.0 and p[3] == "duplicate" for p in within)
+
 
 class TestExtractionOp:
     def test_array_struct_columns(self, spark):
