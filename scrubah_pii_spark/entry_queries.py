@@ -42,6 +42,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count when the scan produced fewer
+    partitions than cores. The sf0.x documents/embeddings tables are single
+    parquet files (one scan partition), which would run every per-doc Arrow
+    kernel on ONE task of a 32-core session; a real 100 TB scan yields
+    thousands of partitions and this is a no-op (the probe sees
+    partitions >= cores and returns the frame untouched)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -58,7 +71,7 @@ def q_quality_score(spark, sf_dir):
     # ~8 threads/JVM from string-allocation churn (plans/pipeline.py:10-16).
     from .operators.scrub_op import quality_metrics_udf
 
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     q = quality_metrics_udf(F.col("text"))
     return df.select("doc_id", q.alias("q")).select(
         "doc_id",
@@ -114,7 +127,7 @@ def q_relevance_label(spark, sf_dir):
     # anti-scaling path (plans/pipeline.py:10-16).
     from .operators.scrub_op import make_relevance_metrics_udf
 
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     r = make_relevance_metrics_udf(generation=2)(F.col("text"))
     return df.select("doc_id", r.alias("r")).select(
         "doc_id",
@@ -487,7 +500,7 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.85
 def q_ann_topk(spark, sf_dir):
     from .operators.similarity import cosine_expr
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _spread(_embeddings(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
     )
@@ -728,7 +741,7 @@ def q_template_ngram_strip(spark, sf_dir):
     )
     from .oracles_sql import framed_text_expr
 
-    df = _docs(spark, sf_dir).select(
+    df = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("url"),
         framed_text_expr().alias("text"),
     )
@@ -758,7 +771,7 @@ def q_compression_summary(spark, sf_dir):
     )
     from .oracles_sql import framed_text_expr
 
-    df = _docs(spark, sf_dir).select(
+    df = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("url"),
         framed_text_expr().alias("text"),
     )
@@ -836,7 +849,7 @@ def q_minhash_signature(spark, sf_dir):
     hashing reproducible in ANSI SQL (md5 -> 60-bit int -> k affine mins)."""
     from .operators.dedup import _minhash_params, add_minhash_signature
 
-    df = add_minhash_signature(_docs(spark, sf_dir), "text", "doc_id", k=4)
+    df = add_minhash_signature(_spread(_docs(spark, sf_dir)), "text", "doc_id", k=4)
     return df.select(
         "doc_id",
         F.col("minhash")[0].alias("mh0"),
@@ -921,7 +934,7 @@ def q_scrub_worker(spark, sf_dir):
 
     from .oracles_sql import worker_probe_expr
 
-    df = _docs(spark, sf_dir).withColumn("probe", worker_probe_expr())
+    df = _spread(_docs(spark, sf_dir)).withColumn("probe", worker_probe_expr())
     return df.select("doc_id", worker_udf(F.col("probe")).alias("w")).select(
         "doc_id", F.col("w.scrubbed_text").alias("scrubbed_text"),
         F.col("w.pii_count").alias("pii_count"),
@@ -961,7 +974,7 @@ def q_extraction(spark, sf_dir):
     from .operators.extraction_op import add_extraction
     from .oracles_sql import probe_expr
 
-    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    docs = _spread(_docs(spark, sf_dir)).withColumn("probe", probe_expr())
     df = add_extraction(docs, "probe")
     wbc = F.try_element_at(
         F.filter("labs", lambda l: l["test"] == F.lit("WBC")), F.lit(1)
@@ -1002,7 +1015,7 @@ def q_narrative(spark, sf_dir):
 
     from .oracles_sql import probe_expr
 
-    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    docs = _spread(_docs(spark, sf_dir)).withColumn("probe", probe_expr())
     df = add_extraction(docs, "probe")
     return df.select(
         "doc_id",
@@ -1015,7 +1028,7 @@ def q_semantic_clusters(spark, sf_dir):
     cluster stats (semanticDedup semantics at scale)."""
     from .operators.clustering import lsh_semantic_clusters
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _spread(_embeddings(spark, sf_dir))
     # Bucket-local union-find (one shuffle, no CC iteration): components
     # cannot span LSH buckets because each vector has exactly one signature.
     # exact all-pairs cosine lives on only as a small-n pytest oracle.
@@ -1034,7 +1047,7 @@ def q_scrub(spark, sf_dir):
     from .operators.scrub_op import scrub_udf
     from .oracles_sql import pii_probe_expr
 
-    df = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
+    df = _spread(_docs(spark, sf_dir)).withColumn("probe", pii_probe_expr())
     return df.select(
         "doc_id", scrub_udf(F.col("probe")).alias("s")
     ).select("doc_id", F.col("s.scrubbed_text").alias("scrubbed_text"),
@@ -1044,7 +1057,7 @@ def q_scrub(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     from .operators.scrub_op import simhash_udf
 
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id", simhash_udf(F.col("text")).alias("simhash")
     )
 
@@ -1060,7 +1073,7 @@ def q_perplexity(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from .operators.dedup import add_minhash_signature, minhash_dedup_pairs
 
-    df = add_minhash_signature(_docs(spark, sf_dir), "text", "doc_id")
+    df = add_minhash_signature(_spread(_docs(spark, sf_dir)), "text", "doc_id")
     pairs = minhash_dedup_pairs(df.withColumnRenamed("doc_id", "url"), "url")
     return pairs.select(
         F.col("url_a").cast("long").alias("id_a"),
@@ -1072,7 +1085,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_lsh_ann_topk(spark, sf_dir):
     from .operators.similarity import lsh_bucketed_topk
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _spread(_embeddings(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") < 5)
     out = lsh_bucketed_topk(emb, queries, k=10, dim=64)
     return out.select(
@@ -1160,7 +1173,7 @@ def q_lab_trend_summary(spark, sf_dir):
     from .operators.extraction_op import extract_labs_udf, lab_trends
     from .oracles_sql import probe_expr
 
-    docs = _docs(spark, sf_dir).withColumn("probe", probe_expr())
+    docs = _spread(_docs(spark, sf_dir)).withColumn("probe", probe_expr())
     df = docs.withColumn("labs", extract_labs_udf(F.col("probe")))
     out = lab_trends(df, "doc_id", "doc_id")
     return out.select(
@@ -1181,7 +1194,7 @@ def q_multimodal_features(spark, sf_dir):
     oracle mirrors the arithmetic — proving the Arrow plumbing end to end."""
     from .operators.multimodal import extract_media_features
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     out = extract_media_features(docs, "payload")
@@ -1271,7 +1284,7 @@ def q_media_decode(spark, sf_dir):
                 )
         return pd.Series(out)
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id")
     out = extract_media_features(
         docs.withColumn("payload", synth_media("doc_id")), "payload"
     )
@@ -1391,7 +1404,7 @@ def q_doc_embed_neardup(spark, sf_dir):
     from .operators.embed_op import add_embeddings
     from .operators.similarity import lsh_cosine_pairs_fast
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     emb = add_embeddings(docs, "text", dim=64)
     # bucket-local numpy pairs with exact-fold boundary refinement — ~50x
     # the per-pair expression-fold path; cosine comes back pre-rounded
@@ -1411,7 +1424,7 @@ def q_scrub_audit(spark, sf_dir):
     from .operators.audit_op import scrub_audit
     from .oracles_sql import pii_probe_expr
 
-    docs = _docs(spark, sf_dir).withColumn("probe", pii_probe_expr())
+    docs = _spread(_docs(spark, sf_dir)).withColumn("probe", pii_probe_expr())
     out = scrub_audit(docs, "probe")
     hits = F.array_join(
         F.transform(
@@ -1550,7 +1563,7 @@ def q_whitelist_extraction(spark, sf_dir):
     from .operators.whitelist_op import add_whitelist_extraction
     from .oracles_sql import whitelist_probe_expr
 
-    docs = _docs(spark, sf_dir).withColumn("probe", whitelist_probe_expr())
+    docs = _spread(_docs(spark, sf_dir)).withColumn("probe", whitelist_probe_expr())
     df = add_whitelist_extraction(docs, "probe", as_of_date="2026-01-01")
     r = F.col("medical_record")
     panel1 = F.try_element_at(r["lab_panels"], F.lit(1))
