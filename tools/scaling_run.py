@@ -115,24 +115,57 @@ def main():
     pre_rep = os.environ.get("SCRUBAH_PRE_REPARTITION", "1") == "1"
     cfg = dataclasses.replace(DEFAULT_PIPELINE_CONFIG, pre_repartition=pre_rep)
 
+    # optional corpus-shaping leg (round-6: the shaping ops had never run at
+    # campaign scale): SCRUBAH_SHAPING_HOST_CAP / SCRUBAH_SHAPING_LANG_CAP
+    host_cap_n = int(os.environ.get("SCRUBAH_SHAPING_HOST_CAP", "0"))
+    lang_cap = int(os.environ.get("SCRUBAH_SHAPING_LANG_CAP", "0"))
+    if host_cap_n or lang_cap:
+        from scrubah_pii_spark.config import ShapingConfig
+
+        cfg = dataclasses.replace(
+            cfg, shaping=ShapingConfig(host_cap_n=host_cap_n, lang_cap=lang_cap)
+        )
+
     df = spark.read.parquet(corpus)
     df.limit(64).count()  # warm-up: executor JVMs + Arrow init
 
+    # Timing protocol (round 6). one_action=1 (default): time the single
+    # user-facing action output.count(). persist() is lazy, NOT a stage
+    # barrier — in one action the cache is populated inside the dedup
+    # exchange-1 map stage, so the slim-projection shuffle WRITE overlaps the
+    # label UDF per-partition (the round-5 verdict's named residual was the
+    # barrier the old two-action instrumentation itself created: counting
+    # labeled first forces a full materialization job before dedup's first
+    # byte of shuffle). label_sec is then a post-hoc probe over the
+    # now-cached frame (cache-read cost only, NOT the old label_sec).
+    # one_action=0 restores the round-3..5 two-action split for comparison.
+    one_action = os.environ.get("SCRUBAH_ONE_ACTION", "1") == "1"
     t0 = time.time()
     res = run_pipeline(df, cfg=cfg)
     t_plan = time.time() - t0
-    labeled_rows = res.labeled.count()
-    t_label = time.time() - t0
-    t1 = time.time()
-    out_rows = res.output.count()
-    t_dedup = time.time() - t1
-    wall = time.time() - t0
+    if one_action:
+        out_rows = res.output.count()
+        wall = time.time() - t0
+        t1 = time.time()
+        labeled_rows = res.labeled.count()  # cached: probe, not stage time
+        t_label_probe = time.time() - t1
+        t_label, t_dedup = None, None
+    else:
+        labeled_rows = res.labeled.count()
+        t_label = time.time() - t0
+        t1 = time.time()
+        out_rows = res.output.count()
+        t_dedup = time.time() - t1
+        wall = time.time() - t0
+        t_label_probe = None
     res.labeled.unpersist()
     spark.stop()
 
     print(json.dumps({
         "mode": mode,
+        "one_action": one_action,
         "pre_repartition": pre_rep,
+        "shaping": {"host_cap_n": host_cap_n, "lang_cap": lang_cap},
         "executors": executors,
         "cores_per_executor": cores_each,
         "total_cores": total_cores,
@@ -140,8 +173,11 @@ def main():
         "out_rows": out_rows,
         "wall_sec": round(wall, 2),
         "plan_sec": round(t_plan, 2),
-        "label_sec": round(t_label, 2),
-        "dedup_sec": round(t_dedup, 2),
+        "label_sec": round(t_label, 2) if t_label is not None else None,
+        "dedup_sec": round(t_dedup, 2) if t_dedup is not None else None,
+        "label_cache_probe_sec": (
+            round(t_label_probe, 2) if t_label_probe is not None else None
+        ),
         "docs_per_sec": round(labeled_rows / wall, 1),
     }))
 
