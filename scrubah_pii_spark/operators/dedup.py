@@ -373,12 +373,24 @@ def exact_jaccard_pairs_prefix(
     )
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
-    ).select("fp", "word")
+    ).select("fp", "word", "sz")
 
+    # AllPairs LENGTH filter at the self-join: J(a,b) >= t forces
+    # t * max(|a|,|b|) <= min(|a|,|b|) (intersection <= min, union >= max),
+    # so size-incompatible candidates are dropped before the dedup shuffle
+    # and the array_intersect verify. The 1e-9 slack keeps exact-boundary
+    # pairs (e.g. |a|=17, |b|=20 at t=0.85) safe under IEEE rounding —
+    # one spared candidate, never a recall loss.
+    sz_compat = (
+        (F.col("a.sz") >= F.col("b.sz") * threshold - 1e-9)
+        & (F.col("b.sz") >= F.col("a.sz") * threshold - 1e-9)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
-              (F.col("a.word") == F.col("b.word")) & (F.col("a.fp") < F.col("b.fp")))
+              (F.col("a.word") == F.col("b.word"))
+              & (F.col("a.fp") < F.col("b.fp"))
+              & sz_compat)
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .dropDuplicates(["fp_a", "fp_b"])
     )

@@ -44,6 +44,12 @@ def run(execs: int, n_docs: int, pin: str | None, mem_mb: int, note: str,
     if pin:
         cmd = ["taskset", "-c", pin] + cmd
     env = dict(os.environ, SCRUBAH_EXEC_MEM_MB=str(mem_mb))
+    # round-5 measured Arrow-batch knee at 4N: 256 rows (2048 costs +28% on
+    # the label stage when 32 python workers share one memory bus). The r6
+    # campaign's first 8.67M pair accidentally ran at the 2048 default and
+    # reproduced exactly that regression (4x8 967 s vs ~620 s; kept in the
+    # jsonl as a control) — bake the knee in so the env can't be forgotten.
+    env.setdefault("SCRUBAH_ARROW_BATCH", "256")
     env.update(extra_env or {})
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200,
                           env=env)
