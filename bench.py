@@ -65,6 +65,7 @@ def main():
     run_once(spark, "_warmup", QUERIES["content_hash"])
 
     timings = {}
+    spreads = {}  # worst-best per query: separates host drift from code
     rows = {}
     for name in (HEADLINE or list(QUERIES)):
         if name in BENCH_EXCLUDE:
@@ -72,11 +73,14 @@ def main():
                   file=sys.stderr, flush=True)
             continue
         best_sec, n = run_once(spark, name, QUERIES[name])
+        worst_sec = best_sec
         for _ in range(BEST_OF - 1):
             sec, n2 = run_once(spark, name, QUERIES[name])
             assert n2 == n, f"{name}: nondeterministic row count {n} vs {n2}"
             best_sec = min(best_sec, sec)
+            worst_sec = max(worst_sec, sec)
         timings[name] = round(best_sec, 3)
+        spreads[name] = round(worst_sec - best_sec, 3)
         rows[name] = n
         print(f"## {name}: {best_sec:.2f}s {n} rows", file=sys.stderr,
               flush=True)
@@ -91,6 +95,11 @@ def main():
         "cpus": int(CPUS),
         "best_of": BEST_OF,
         "load_at_start": round(load_at_start, 2),
+        # total run-to-run spread across the best-of reps: a large value
+        # with an unchanged query set means host drift, not a regression
+        # (round-6 finding: same-code heavy queries swung 30-90% on an
+        # idle machine; per-query spreads go to the rows sidecar)
+        "spread_total": round(sum(spreads.values()), 3),
         "excluded": sorted(BENCH_EXCLUDE),
     }
 
@@ -107,6 +116,8 @@ def main():
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH", "rows_latest.json"), "w") as f:
             json.dump(rows, f, separators=(",", ":"))
+        with open(os.path.join(here, "BENCH", "spreads_latest.json"), "w") as f:
+            json.dump(spreads, f, separators=(",", ":"))
     except OSError:
         pass
     print(json.dumps(out, separators=(",", ":")), flush=True)
