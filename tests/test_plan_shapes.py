@@ -149,3 +149,28 @@ class TestDupSpanStrip:
         )
         c = plan_counts(dup_span_strip(df), "Window", "ArrowEvalPython")
         assert c["Window"] == 0 and c["ArrowEvalPython"] == 0, c
+
+
+class TestSpreadHelper:
+    """_spread (entry_queries): round-robin repartition ONLY when the scan
+    produced fewer partitions than cores — the no-op branch is what makes it
+    scale-safe (a real 100 TB scan must not be coalesced to core count)."""
+
+    def test_single_partition_input_spreads(self, spark):
+        from scrubah_pii_spark.entry_queries import _spread
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "x long") \
+            .coalesce(1)
+        out = _spread(df)
+        target = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == target
+        assert sorted(r["x"] for r in out.collect()) == list(range(10))
+
+    def test_wide_input_untouched(self, spark):
+        from scrubah_pii_spark.entry_queries import _spread
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(target + 4)
+        out = _spread(df)
+        # no-op branch: the SAME frame comes back, no extra exchange
+        assert out is df
