@@ -49,10 +49,24 @@ def _spread(df: DataFrame) -> DataFrame:
     kernel on ONE task of a 32-core session; a real 100 TB scan yields
     thousands of partitions and this is a no-op (the probe sees
     partitions >= cores and returns the frame untouched)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        # Spark Connect has no sparkContext / RDD bridge. Fall back to a
+        # Connect-safe heuristic: a scan over fewer files than the session's
+        # shuffle width is the single-file trap this helper exists for.
+        try:
+            target = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            if len(df.inputFiles()) < target:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
 
 
 

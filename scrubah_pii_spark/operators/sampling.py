@@ -255,8 +255,12 @@ def stratified_sample(
     the only shuffle is the count agg itself."""
     from pyspark.sql.functions import broadcast
 
-    if cap < 0 or cap >= (2**63 - 1) // _LCG_M:
-        raise ValueError(f"cap={cap} out of range: cap * 2^31 must fit int64")
+    if cap < 1 or cap >= (2**63 - 1) // _LCG_M:
+        # cap=0 must not reach the div predicate: _c would be -1 and Spark's
+        # truncating `div` gives -1 div n = 0, keeping docs whose hash is
+        # exactly 0 instead of none. A zero quota is a caller bug, not a
+        # sampling request — reject it like the negative/overflow cases.
+        raise ValueError(f"cap={cap} out of range: need 1 <= cap, cap * 2^31 < int64 max")
     # largest hash value kept for a stratum of size n is (cap*M - 1) div n;
     # `div` is Spark SQL integer division — no h*n product, no overflow.
     _c = cap * _LCG_M - 1

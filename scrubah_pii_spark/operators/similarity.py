@@ -317,6 +317,13 @@ def lsh_cosine_pairs_fast(
 
         def decide(c, ri, rj):
             """Boundary-aware final cosine for a rep pair, or None to drop."""
+            if not math.isfinite(c):
+                # inf/NaN embeddings (corrupt upstream floats) make the gram
+                # entry inf/inf = NaN; every comparison below would be False
+                # and math.floor(nan) would crash the Arrow task. Drop the
+                # pair, matching the pre-group-collapse behavior where the
+                # `cos >= threshold - 1e-9` prefilter silently excluded it.
+                return None
             near_boundary = any(abs(c - b) < 1e-9 for b in boundaries)
             frac = (c * 1e6) % 1.0
             near_round_edge = abs(frac - 0.5) < 1e-6

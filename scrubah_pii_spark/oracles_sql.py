@@ -13,6 +13,8 @@ them (this module must not import entry_queries back).
 
 from __future__ import annotations
 
+import os
+
 # --- shared SQL fragments --------------------------------------------------
 
 # normalizeForHashing (contentHasher.effect.ts:37-44) in DuckDB
@@ -1262,14 +1264,20 @@ FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
 """
 
 
-def sql_pipeline_flagship(
-    golden_path: str = "/root/repo/tests/golden/flagship_oracle_sf001.json",
-) -> str:
+def sql_pipeline_flagship(golden_path: str | None = None) -> str:
     """Expected-output oracle for the full pipeline: the committed full-row
-    golden at the driver's correctness sf (0.01), regenerated only for
-    deliberate semantic changes (tools/gen_flagship_oracle.py; the url-keyed
-    hash goldens + JS scrub parity + per-stage oracles gate the semantics
-    themselves). Explicit columns pin DuckDB types to the Spark schema."""
+    golden at the driver's correctness sf (0.01). Since round 7 the golden is
+    produced by tools/gen_flagship_oracle_pure.py — a SPARK-FREE
+    reimplementation of the pipeline (pure core kernels + plain-Python dedup
+    verdicts) — so the flagship row is two independent implementations
+    agreeing, not a self-pin (VERDICT r6 item 4). Explicit columns pin DuckDB
+    types to the Spark schema."""
+    if golden_path is None:
+        golden_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "tests", "golden", "flagship_oracle_sf001.json",
+        )
+        golden_path = os.path.normpath(golden_path)
     return f"""
 SELECT url, scrubbed_text, pii_count, lang_pred, quality_score,
        relevance_score, recommendation, content_hash, simhash,

@@ -397,6 +397,29 @@ class TestClustering:
         assert all(p[2] == 1.0 and p[3] == "duplicate" for p in within)
 
 
+    def test_fast_cosine_pairs_nonfinite_embedding_dropped(self, spark):
+        """ADVICE r7: a duplicated embedding containing inf makes its
+        within-group gram diagonal inf/inf = NaN; decide() must drop the
+        pair (the pre-collapse code's threshold prefilter silently excluded
+        it) instead of crashing the Arrow task on math.floor(nan)."""
+        import numpy as np
+
+        from scrubah_pii_spark.operators.similarity import lsh_cosine_pairs_fast
+
+        rng = np.random.default_rng(3)
+        bad = [float("inf")] + [0.0] * 15
+        vecs = [(0, list(bad)), (1, list(bad))]  # identical inf pair
+        vecs += [
+            (10 + i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(6)
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = lsh_cosine_pairs_fast(
+            emb, threshold=0.5, n_planes=4, dim=16
+        ).collect()  # must not raise
+        assert not [r for r in rows if {r["id_a"], r["id_b"]} == {0, 1}]
+
+
 class TestExtractionOp:
     def test_array_struct_columns(self, spark):
         from scrubah_pii_spark.operators.extraction_op import add_extraction

@@ -174,3 +174,32 @@ class TestSpreadHelper:
         out = _spread(df)
         # no-op branch: the SAME frame comes back, no extra exchange
         assert out is df
+
+    def test_connect_safe_fallback(self, spark):
+        """ADVICE r7: under Spark Connect there is no sparkContext/RDD
+        bridge — the probe must degrade to the inputFiles heuristic (and to
+        a plain no-op if even that fails) rather than crash every wrapped
+        query."""
+        from unittest import mock
+
+        from scrubah_pii_spark.entry_queries import _spread
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+
+        class NoContextSession:
+            @property
+            def sparkContext(self):
+                raise Exception("sparkContext is not supported in Connect")
+
+            class conf:
+                @staticmethod
+                def get(key, default=None):
+                    return "8"
+
+        with mock.patch.object(
+            type(df), "sparkSession", property(lambda self: NoContextSession())
+        ):
+            # must not raise; either the inputFiles heuristic repartitions
+            # or the final no-op fallback returns the frame untouched
+            out = _spread(df)
+        assert sorted(r["x"] for r in out.collect()) == list(range(10))

@@ -334,3 +334,17 @@ class TestDupSpanStripLinear:
         out = {r["doc_id"]: r for r in dup_span_strip(df, n=3, min_df=5).collect()}
         assert out[2]["cleaned_text"] == "u2 v2 w2"
         assert out[2]["n_words_kept"] == 3
+
+
+class TestCapZeroGuard:
+    def test_cap_zero_raises(self, spark):
+        """ADVICE r7: cap=0 must not reach the div predicate — _c = -1 and
+        Spark's truncating div gives -1 div n = 0, which KEEPS docs whose
+        hash is exactly 0 (the old product predicate kept none)."""
+        import pytest as _pytest
+
+        from scrubah_pii_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+        with _pytest.raises(ValueError):
+            stratified_sample(df, "lang", cap=0)
