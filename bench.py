@@ -38,6 +38,29 @@ BENCH_EXCLUDE = {"jaccard_pairs": "oracle twin of jaccard_group_edges"}
 BEST_OF = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BEST_OF", "2")))
 
 
+def bw_probe() -> dict:
+    """Short host-bandwidth stamp (tools/bw_probe.py triad at 1/8/32
+    threads, reduced size): recorded in the headline JSON so every BENCH_r*
+    number carries the evidence of its measurement window. Round 6's 'four
+    unexplained regressions' took a verdict cycle to attribute to external
+    host throttling; the stamp makes that attribution part of the record."""
+    import concurrent.futures as cf
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    try:
+        from bw_probe import triad
+    except Exception:
+        return {}
+    out = {}
+    for nthreads in (1, 8, 32):
+        with cf.ThreadPoolExecutor(nthreads) as ex:
+            rs = list(ex.map(lambda _: triad(n=4_000_000, reps=3),
+                             range(nthreads)))
+        out[f"triad_{nthreads}t_gbps"] = round(sum(rs), 1)
+    return out
+
+
 def run_once(spark, name, fn):
     t0 = time.time()
     df = fn(spark, SF_DIR)
@@ -53,6 +76,7 @@ def main():
     from scrubah_pii_spark.session import build_session
 
     load_at_start = os.getloadavg()[0]
+    probe = bw_probe()
     spark = build_session(
         app_name="bench",
         master=f"local[{CPUS}]",
@@ -85,6 +109,23 @@ def main():
         print(f"## {name}: {best_sec:.2f}s {n} rows", file=sys.stderr,
               flush=True)
 
+    # best-of-3 for the slowest five (round-6 verdict item 2): the heaviest
+    # queries dominate the headline AND are the most exposed to a single
+    # externally-loaded window — one extra rep each caps that risk at ~30 s
+    # of bench wall.
+    slowest = sorted(timings, key=timings.get, reverse=True)[:5]
+    for name in slowest:
+        sec, n2 = run_once(spark, name, QUERIES[name])
+        assert n2 == rows[name], f"{name}: nondeterministic rows on rep3"
+        if sec < timings[name]:
+            spreads[name] = round(
+                max(spreads[name] + timings[name] - sec, 0.0), 3)
+            timings[name] = round(sec, 3)
+        else:
+            spreads[name] = round(max(spreads[name], sec - timings[name]), 3)
+        print(f"## {name}: best-of-3 {timings[name]:.2f}s",
+              file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -100,11 +141,34 @@ def main():
         # (round-6 finding: same-code heavy queries swung 30-90% on an
         # idle machine; per-query spreads go to the rows sidecar)
         "spread_total": round(sum(spreads.values()), 3),
+        # per-query spread IN the headline (round-6 verdict item 2): a query
+        # whose best moved with near-zero spread regressed; one whose spread
+        # rivals its best was weather. Only spreads >= 0.15 s appear here —
+        # the driver keeps a 2000-char stdout tail (round-3 lesson) and the
+        # full 45-entry dict would overflow it; the complete per-query dict
+        # is always in BENCH/spreads_latest.json.
+        "spread": {k: v for k, v in spreads.items() if v >= 0.15},
+        "spread_full": "BENCH/spreads_latest.json",
+        # host-bandwidth stamp for the measurement window (GB/s aggregate
+        # triad at 1/8/32 threads; healthy host: ~10-20 single-thread)
+        "probe": probe,
         "excluded": sorted(BENCH_EXCLUDE),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         out["scaling"] = run_scaling()
+
+    # hard guard on the headline size: the driver's tail capture is 2000
+    # chars and must contain the ENTIRE final line or the round records
+    # parsed=null (round 3). Shed the smallest spread entries first, then
+    # the probe, until the serialized line fits with margin.
+    while len(json.dumps(out, separators=(",", ":"))) > 1900:
+        if out["spread"]:
+            out["spread"].pop(min(out["spread"], key=out["spread"].get))
+        elif out.get("probe"):
+            out["probe"] = {}
+        else:
+            break
 
     spark.stop()
     # Round-3 verdict: the headline line outgrew the driver's tail capture
