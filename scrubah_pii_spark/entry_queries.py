@@ -15,6 +15,8 @@ JS-parity harness + committed goldens + fuzz suites.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -48,7 +50,15 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet files (one scan partition), which would run every per-doc Arrow
     kernel on ONE task of a 32-core session; a real 100 TB scan yields
     thousands of partitions and this is a no-op (the probe sees
-    partitions >= cores and returns the frame untouched)."""
+    partitions >= cores and returns the frame untouched).
+
+    SCRUBAH_SPREAD=0 disables the repartition (read at call time) — the
+    measurement toggle behind tools/spread_ab.py, which A/Bs the scan shape
+    per query on one warm session (round-6 verdict item 3: the embedding
+    queries got _spread without the per-query A/B the kernel-heavy queries
+    received)."""
+    if os.environ.get("SCRUBAH_SPREAD") == "0":
+        return df
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
