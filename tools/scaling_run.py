@@ -25,6 +25,19 @@ def main():
     executors = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
     cores_each = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    # Duplicate fd 2 into a per-shape log so executor/driver stack traces
+    # survive the run — the campaign runner keeps only the last 500 chars of
+    # captured stderr, which was not enough to root-cause the r7 rep0 RPC
+    # death. dup2 catches the JVM's direct fd-2 writes, not just Python's.
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_path = os.path.join(here, "BENCH",
+                            f"scaling_stderr_{executors}x{cores_each}.log")
+    try:
+        _logf = open(log_path, "wb", buffering=0)
+        os.dup2(_logf.fileno(), 2)
+    except OSError:
+        pass
     # mode "local": single-JVM local[total_cores] — the task-brief-sanctioned
     # "local[8] vs local[32]" parallelism-level protocol. The heavy stage is
     # Arrow-batched PYTHON (separate worker processes either way); the JVM
@@ -96,6 +109,13 @@ def main():
         )
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
+        # r7: rep0 1x8 at 8M died ~38 min in with a driver-side RPC failure
+        # while the host bw-probe read 30-50x throttled — a stalled executor
+        # (GC pause / frozen memory path) can exceed the default 120 s
+        # network timeout and get dropped. Widen the timeouts; a genuinely
+        # hung run is still bounded by the runner's subprocess timeout.
+        .config("spark.network.timeout", "800s")
+        .config("spark.executor.heartbeatInterval", "30s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
