@@ -116,6 +116,14 @@ def main():
         # hung run is still bounded by the runner's subprocess timeout.
         .config("spark.network.timeout", "800s")
         .config("spark.executor.heartbeatInterval", "30s")
+        # r6 carry-forward #1: when the host is externally throttled, tasks
+        # run slow enough that the scheduler's 3 s locality wait expires and
+        # cached-partition consumers get scheduled off-executor, crawling on
+        # remote cache-block fetches (observed again in r7 rep0: 4x8 tail at
+        # ~0.2 load with all executors alive). Wait longer for process-local
+        # slots; on a healthy host the queues drain far faster than 15 s and
+        # the setting is invisible.
+        .config("spark.locality.wait", "15s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
