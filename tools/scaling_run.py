@@ -71,6 +71,16 @@ def main():
         # single-JVM: the driver IS the executor — give it the executor heap
         # (scaled with cores; default 1g OOMs 32 concurrent tasks + persist)
         builder = builder.config("spark.driver.memory", f"{4 + total_cores // 2}g")
+    else:
+        # local-cluster: the client-mode driver JVM defaults to -Xmx1g and
+        # OOMed its RPC dispatcher at 8M docs in round 7 (rep0 1x8 died with
+        # an Inbox RPC failure; rep1 4x8 spent 20+ min in driver GC before
+        # "java.lang.OutOfMemoryError in dispatcher-event-loop"). 6g covers
+        # task-metrics/AQE bookkeeping at 64 shuffle partitions x 8.67M rows.
+        # (Builder-set spark.driver.memory IS honored here: each run is a
+        # fresh subprocess, and pyspark forwards builder confs onto the
+        # spark-submit command line, which sizes the client JVM from it.)
+        builder = builder.config("spark.driver.memory", "6g")
     spark = (
         builder
         .master(master)
