@@ -132,8 +132,11 @@ def main():
         # remote cache-block fetches (observed again in r7 rep0: 4x8 tail at
         # ~0.2 load with all executors alive). Wait longer for process-local
         # slots; on a healthy host the queues drain far faster than 15 s and
-        # the setting is invisible.
-        .config("spark.locality.wait", "15s")
+        # the setting is invisible. Env-tunable for A/B: a too-long wait can
+        # itself idle cores when cached blocks sit unevenly across the 4
+        # executors and the tail stage has more tasks than local slots.
+        .config("spark.locality.wait",
+                os.environ.get("SCRUBAH_LOCALITY_WAIT", "15s"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
