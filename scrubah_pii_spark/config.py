@@ -111,6 +111,17 @@ class PipelineConfig:
     # host (e.g. stateful host dedup) so the heavy UDF stage leaves data
     # near-co-located; round-robin balances better when nothing is host-keyed
     host_salted_repartition: bool = False
+    # Eagerly materialize the persisted label-stage frame before the
+    # corpus-global half fans out. persist() is lazy, and the output plan
+    # scans `labeled` through TWO independent branches (the slim dedup
+    # verdict build, and the survivor join's probe side) whose stages have
+    # no dependency edge — Spark submits them concurrently, so each computes
+    # the label UDF for partitions the other hasn't cached yet. Measured at
+    # 2M docs x 4x8 executors (BENCH/scaling_r7.jsonl, interleaved A/B):
+    # lazy single-action wall 207.2 s vs eager-barrier wall 149.0 s (-28%).
+    # Disable only for single-consumer plans or when an external checkpoint
+    # (plans.resume) already materializes the stage.
+    eager_label_barrier: bool = True
 
 
 DEFAULT_PIPELINE_CONFIG = PipelineConfig()

@@ -181,6 +181,14 @@ def run_pipeline(
     #      spills; plans.resume swaps it for a manifest-tracked parquet stage
     #      write, which is also the checkpoint-resume boundary).
     labeled = df.persist()
+    # Eager barrier (cfg.eager_label_barrier): populate the cache BEFORE the
+    # two independent consumer branches of finish_pipeline fan out. Without
+    # it, a single downstream action submits the verdict-build stage and the
+    # join-probe stage concurrently and both compute the label UDF
+    # (round-7 A/B at 2M x 4x8: 207.2 s lazy vs 149.0 s eager — the lazy
+    # "one action" run pays the label stage nearly twice).
+    if cfg.eager_label_barrier:
+        labeled.count()
     return finish_pipeline(labeled, cfg)
 
 

@@ -154,7 +154,11 @@ def main():
     # SLOWS the 4-executor label stage 2-3x (scan-fused UDF tasks lose the
     # even-sized-partition property); keep it on by default
     pre_rep = os.environ.get("SCRUBAH_PRE_REPARTITION", "1") == "1"
-    cfg = dataclasses.replace(DEFAULT_PIPELINE_CONFIG, pre_repartition=pre_rep)
+    # eager_label_barrier=False: this runner controls materialization itself
+    # (SCRUBAH_ONE_ACTION arms the lazy vs barrier protocol below); the
+    # library default (True) would hide the A/B.
+    cfg = dataclasses.replace(DEFAULT_PIPELINE_CONFIG, pre_repartition=pre_rep,
+                              eager_label_barrier=False)
 
     # optional corpus-shaping leg (round-6: the shaping ops had never run at
     # campaign scale): SCRUBAH_SHAPING_HOST_CAP / SCRUBAH_SHAPING_LANG_CAP
