@@ -1052,7 +1052,10 @@ def q_semantic_clusters(spark, sf_dir):
     cluster stats (semanticDedup semantics at scale)."""
     from .operators.clustering import lsh_semantic_clusters
 
-    emb = _spread(_embeddings(spark, sf_dir))
+    # flat scan (no _spread): the r7 per-query A/B measured the round-robin
+    # exchange +22% on this 5k-row embedding table — the LSH bucket shuffle
+    # immediately redistributes anyway (BENCH/spread_ab_r7.json).
+    emb = _embeddings(spark, sf_dir)
     # Bucket-local union-find (one shuffle, no CC iteration): components
     # cannot span LSH buckets because each vector has exactly one signature.
     # exact all-pairs cosine lives on only as a small-n pytest oracle.
@@ -1097,7 +1100,10 @@ def q_perplexity(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from .operators.dedup import add_minhash_signature, minhash_dedup_pairs
 
-    df = add_minhash_signature(_spread(_docs(spark, sf_dir)), "text", "doc_id")
+    # flat scan (no _spread): the r7 A/B measured the pre-UDF repartition
+    # +11% here — the distinct-signature group and band shuffles dominate,
+    # so the extra exchange never pays for itself (BENCH/spread_ab_r7.json).
+    df = add_minhash_signature(_docs(spark, sf_dir), "text", "doc_id")
     pairs = minhash_dedup_pairs(df.withColumnRenamed("doc_id", "url"), "url")
     return pairs.select(
         F.col("url_a").cast("long").alias("id_a"),
