@@ -112,9 +112,15 @@ def main():
     # best-of-3 for the slowest five (round-6 verdict item 2): the heaviest
     # queries dominate the headline AND are the most exposed to a single
     # externally-loaded window — one extra rep each caps that risk at ~30 s
-    # of bench wall.
+    # of bench wall. r7 extension: also rerun the five queries whose
+    # best-of-2 spread exceeded 25% of their best — a big spread means at
+    # least one rep landed in a loaded window, so the recorded best is the
+    # least trustworthy exactly there.
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
-    for name in slowest:
+    wobbly = [n for n in sorted(
+        timings, key=lambda n: spreads[n] / max(timings[n], 0.05),
+        reverse=True) if spreads[n] > 0.25 * timings[n]][:5]
+    for name in dict.fromkeys([*slowest, *wobbly]):
         sec, n2 = run_once(spark, name, QUERIES[name])
         assert n2 == rows[name], f"{name}: nondeterministic rows on rep3"
         if sec < timings[name]:

@@ -311,6 +311,28 @@ class TestDedupAndLeaks:
         b = {r["url"]: r["scrubbed_text"] for r in result.output.collect()}
         assert a == b
 
+    def test_eager_label_barrier_same_output(self, webpages, result):
+        """eager_label_barrier is a materialization hint only (populate the
+        persist cache before finish_pipeline's two consumer branches fan
+        out); flipping it must not change a single output row. The default
+        fixture runs barrier-on; compare against barrier-off."""
+        import dataclasses
+
+        from scrubah_pii_spark.config import DEFAULT_PIPELINE_CONFIG
+
+        cfg = dataclasses.replace(
+            DEFAULT_PIPELINE_CONFIG, eager_label_barrier=False
+        )
+        lazy = run_pipeline(webpages, cfg=cfg)
+        a = {(r["url"], r["warc_ts"]): r["scrubbed_text"]
+             for r in lazy.output.select(
+                 "url", "warc_ts", "scrubbed_text").collect()}
+        b = {(r["url"], r["warc_ts"]): r["scrubbed_text"]
+             for r in result.output.select(
+                 "url", "warc_ts", "scrubbed_text").collect()}
+        assert a == b
+        lazy.labeled.unpersist()
+
     def test_host_salted_repartition_same_output(self, webpages, result):
         """The skew-safe host-salted pre-repartition (repartition on
         (host, salt)) is a pure physical-layout choice — output identical
