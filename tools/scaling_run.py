@@ -69,8 +69,16 @@ def main():
     builder = SparkSession.builder.appName(f"scaling-{executors}x{cores_each}")
     if mode == "local":
         # single-JVM: the driver IS the executor — give it the executor heap
-        # (scaled with cores; default 1g OOMs 32 concurrent tasks + persist)
-        builder = builder.config("spark.driver.memory", f"{4 + total_cores // 2}g")
+        # (scaled with cores; default 1g OOMs 32 concurrent tasks + persist).
+        # SCRUBAH_DRIVER_MEM_GB overrides for a memory-equal pair: the
+        # cores-scaled formula gives local[8] only 8g, which OOMed the
+        # dedup-tail shuffle at 8.67M docs (r7; local[32] got 20g and
+        # passed). The task-brief pair varies PARALLELISM on one host, so
+        # granting both sides the same heap is the fair protocol at sizes
+        # where the columnar cache + shuffle no longer fit in 8g.
+        mem_gb = os.environ.get("SCRUBAH_DRIVER_MEM_GB")
+        mem_gb = int(mem_gb) if mem_gb else 4 + total_cores // 2
+        builder = builder.config("spark.driver.memory", f"{mem_gb}g")
     else:
         # local-cluster: the client-mode driver JVM defaults to -Xmx1g and
         # OOMed its RPC dispatcher at 8M docs in round 7 (rep0 1x8 died with
