@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.join(HERE, "tools"))
 
 from scaling_r7 import OUT, probe  # noqa: E402
 
-FORCE_AFTER_SEC = 45 * 60  # run a (stamped) pair even in bad weather
+# run a (stamped) pair even in bad weather after this long; 0 disables
+# forcing entirely (healthy-window-only mode — used for the 8.67M pair,
+# where a bad-weather run burns an hour and records nothing useful)
+FORCE_AFTER_SEC = (int(os.environ.get("SCRUBAH_PAIRWATCH_FORCE_MIN", "45"))
+                   * 60) or float("inf")
 POLL_SEC = 150
 
 
