@@ -64,7 +64,7 @@ LABS_TYPE = ArrayType(StructType([
 
 
 @F.pandas_udf(LABS_TYPE)
-def extract_labs_udf(texts: pd.Series) -> pd.Series:
+def _extract_labs_udf_det(texts: pd.Series) -> pd.Series:
     """Labs-only kernel (UDF-level column pruning): lab consumers skip the
     vitals/ICD-10/modality/abnormal regex passes AND their Arrow transfer —
     Catalyst prunes columns, not work inside a Python kernel. Same patterns
@@ -76,6 +76,16 @@ def extract_labs_udf(texts: pd.Series) -> pd.Series:
         ]
         for txt in texts
     ])
+
+
+# Non-deterministic marking (guide §4.4): the explode() downstream of this
+# UDF makes Catalyst infer a `size(labs) > 0` filter and push it BELOW the
+# pre-UDF repartition, re-evaluating the whole labs extraction a second time
+# on the UN-spread scan — one task for a single-file parquet input. Marking
+# the (pure) UDF non-deterministic forbids the duplication: one
+# ArrowEvalPython node, after the spread exchange. Plan shape pinned in
+# tests/test_plan_shapes.py.
+extract_labs_udf = _extract_labs_udf_det.asNondeterministic()
 
 
 def add_extraction(df: DataFrame, text_col: str) -> DataFrame:

@@ -151,6 +151,29 @@ class TestDupSpanStrip:
         assert c["Window"] == 0 and c["ArrowEvalPython"] == 0, c
 
 
+class TestLabTrends:
+    def test_single_arrow_eval_above_repartition(self, spark):
+        """extract_labs_udf runs ONCE, after the pre-UDF repartition. The
+        r7 shape evaluated it twice: explode(labs) made Catalyst infer a
+        size(labs) > 0 filter and push it below the exchange, re-running
+        the whole extraction on the UN-spread scan (one task for a
+        single-file parquet input — measured as the lab_trend_summary
+        30 s outlier at sf1.0). asNondeterministic() forbids the
+        duplication (guide §4.4)."""
+        from scrubah_pii_spark.operators.extraction_op import (
+            extract_labs_udf, lab_trends,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"WBC: {i % 20}.1 HGB: 1{i % 9}") for i in range(20)],
+            "doc_id long, text string",
+        ).repartition(4)
+        df = docs.withColumn("labs", extract_labs_udf(F.col("text")))
+        out = lab_trends(df, "doc_id", "doc_id")
+        c = plan_counts(out, "ArrowEvalPython", "Exchange")
+        assert c["ArrowEvalPython"] == 1, c
+
+
 class TestSpreadHelper:
     """_spread (entry_queries): round-robin repartition ONLY when the scan
     produced fewer partitions than cores — the no-op branch is what makes it
