@@ -31,17 +31,31 @@ def chunk_text(text: str, size: int = 512, overlap: int = 50) -> list:
     return [text[i : i + size] for i in range(0, len(text), step) if text[i : i + size]]
 
 
+# word -> (bucket, sign) memo: md5 of a word is a pure function and corpus
+# vocabulary repeats massively, so one digest per DISTINCT word per worker
+# (bounded; reset when it grows past ~1M entries). Accumulation order is
+# unchanged, so float sums are bit-identical to the uncached path.
+_WORD_BUCKET: dict = {}
+
+
 def _hash_embed(chunk: str, dim: int = 64) -> list:
     """Deterministic stand-in encoder: word feature-hashing with signed
     buckets, L2-normalized. Replace with sentence-transformers in prod."""
     vec = [0.0] * dim
+    memo = _WORD_BUCKET
+    if len(memo) > 1_000_000:
+        memo.clear()
     for w in _WS_RE.split(chunk.lower()):
         if not w:
             continue
-        d = hashlib.md5(w.encode()).digest()
-        idx = d[0] % dim
-        sign = 1.0 if d[1] % 2 == 0 else -1.0
-        vec[idx] += sign
+        hit = memo.get(w)
+        if hit is None:
+            d = hashlib.md5(w.encode()).digest()
+            # store the raw byte, not byte % dim: `dim` is a parameter and
+            # the memo is shared across call sites
+            hit = (d[0], 1.0 if d[1] % 2 == 0 else -1.0)
+            memo[w] = hit
+        vec[hit[0] % dim] += hit[1]
     norm = math.sqrt(sum(v * v for v in vec))
     return [v / norm for v in vec] if norm > 0 else vec
 

@@ -266,14 +266,26 @@ def lsh_cosine_pairs_fast(
         d = na * nb
         return _fold_dot(a, b) / d if d > 0 else 0.0
 
+    P = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+
     def add_sig(iterator):
         for pdf in iterator:
-            sigs = []
-            for v in pdf[vec_col]:
-                vv = list(v)
-                sigs.append(
-                    "".join("1" if _fold_dot(vv, p) >= 0 else "0" for p in planes)
-                )
+            vecs = [list(v) for v in pdf[vec_col]]
+            if vecs:
+                V = np.array(vecs, dtype=np.float64)      # (n, dim)
+                D = V @ P                                 # (n, n_planes)
+                # numpy dot vs the sequential fold differ ~1e-16; the sign
+                # only flips when |dot| is at that scale — re-decide those
+                # few entries with the exact fold (same refinement pattern
+                # as decide() below), keeping bit-parity with the
+                # expression/DuckDB arithmetic at ~50x less Python work.
+                risky = np.argwhere(np.abs(D) < 1e-9)
+                for r, c in risky:
+                    D[r, c] = _fold_dot(vecs[r], planes[c])
+                bits = np.where(D >= 0, "1", "0")
+                sigs = ["".join(row) for row in bits]
+            else:
+                sigs = []
             out = pdf[[id_col, vec_col]].copy()
             out["_sig"] = sigs
             yield out
@@ -313,7 +325,7 @@ def lsh_cosine_pairs_fast(
         with np.errstate(divide="ignore", invalid="ignore"):
             C = np.where(denom > 0, G / denom, 0.0)
         g = len(reps)
-        rows = []
+        col_a, col_b, col_c, col_t = [], [], [], []
 
         def decide(c, ri, rj):
             """Boundary-aware final cosine for a rep pair, or None to drop."""
@@ -333,7 +345,17 @@ def lsh_cosine_pairs_fast(
                 return None
             return math.floor(c * 1e6 + 0.5) / 1e6
 
+        # Pair decisions AND expansion are bucket-level numpy (r8): the r7
+        # shape appended one Python tuple per output pair (17M rows at
+        # sf1.0); a first rewrite vectorized per GROUP PAIR, which was
+        # ~15 tiny numpy calls per mostly-singleton pair and measured 3x
+        # SLOWER — real corpora hash-bucket into ~all-distinct vectors, so
+        # the bulk path must be per BUCKET. Boundary refinement stays exact:
+        # risky entries (near a tier/threshold boundary, near a 6-decimal
+        # rounding edge, or non-finite) are re-decided with the sequential
+        # fold, exactly like decide(); they are a vanishing fraction.
         # within-group pairs: one decision per group, applied to all pairs
+        # (multi-member groups are rare on real corpora — loop is fine)
         for gi in range(g):
             mem = members[gi]
             if len(mem) < 2:
@@ -341,29 +363,78 @@ def lsh_cosine_pairs_fast(
             c = decide(C[gi, gi], reps[gi], reps[gi])
             if c is None:
                 continue
-            t = _tier(c)
-            for x in range(len(mem)):
-                for y in range(x + 1, len(mem)):
-                    rows.append((mem[x], mem[y], c, t))
+            m_arr = np.array(mem, dtype=np.int64)  # sorted asc -> a < b
+            iu, ju = np.triu_indices(len(m_arr), k=1)
+            col_a.append(m_arr[iu])
+            col_b.append(m_arr[ju])
+            col_c.append(np.full(len(iu), c))
+            col_t.append(np.full(len(iu), _tier(c), dtype=object))
         # cross-group pairs: one gram entry + decision per group PAIR
         if g >= 2:
             iu, ju = np.triu_indices(g, k=1)
             cos = C[iu, ju]
             cand = cos >= threshold - 1e-9
-            for gi, gj, c0 in zip(iu[cand], ju[cand], cos[cand]):
-                c = decide(c0, reps[gi], reps[gj])
-                if c is None:
-                    continue
-                t = _tier(c)
-                for a in members[gi]:
-                    for b in members[gj]:
-                        lo, hi = (a, b) if a < b else (b, a)
-                        rows.append((lo, hi, c, t))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine", "tier"])
+            iu, ju, cos = iu[cand], ju[cand], np.ascontiguousarray(cos[cand])
+            # exact-fold refinement for decision-edge entries (same cases
+            # decide() refines, computed as vector masks)
+            finite = np.isfinite(cos)
+            risky = ~finite
+            safe_cos = np.where(finite, cos, 0.0)
+            for b in boundaries:
+                risky |= np.abs(safe_cos - b) < 1e-9
+            frac = (safe_cos * 1e6) % 1.0
+            risky |= np.abs(frac - 0.5) < 1e-6
+            for k in np.nonzero(risky)[0]:
+                cos[k] = (
+                    _exact_cos(vecs[reps[iu[k]]], vecs[reps[ju[k]]])
+                    if math.isfinite(cos[k]) else np.nan
+                )
+            keep = np.isfinite(cos) & (cos >= threshold)
+            iu, ju, cos = iu[keep], ju[keep], cos[keep]
+            rounded = np.floor(cos * 1e6 + 0.5) / 1e6
+            tiers = np.where(
+                rounded >= 0.95, "duplicate",
+                np.where(rounded >= 0.85, "similar", "related"),
+            ).astype(object)
+            nmem = np.array([len(m) for m in members], dtype=np.int64)
+            first_id = np.array([m[0] for m in members], dtype=np.int64)
+            both_single = (nmem[iu] == 1) & (nmem[ju] == 1)
+            # bulk path: singleton x singleton group pairs emit directly
+            a = first_id[iu[both_single]]
+            b = first_id[ju[both_single]]
+            col_a.append(np.minimum(a, b))
+            col_b.append(np.maximum(a, b))
+            col_c.append(rounded[both_single])
+            col_t.append(tiers[both_single])
+            # rare path: pairs touching a multi-member group expand m*n ways
+            for k in np.nonzero(~both_single)[0]:
+                ma = np.array(members[iu[k]], dtype=np.int64)
+                mb = np.array(members[ju[k]], dtype=np.int64)
+                aa = np.repeat(ma, len(mb))
+                bb = np.tile(mb, len(ma))
+                col_a.append(np.minimum(aa, bb))
+                col_b.append(np.maximum(aa, bb))
+                col_c.append(np.full(len(aa), rounded[k]))
+                col_t.append(np.full(len(aa), tiers[k], dtype=object))
+        if not col_a:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine", "tier"])
+        return pd.DataFrame({
+            "id_a": np.concatenate(col_a),
+            "id_b": np.concatenate(col_b),
+            "cosine": np.concatenate(col_c),
+            "tier": np.concatenate(col_t),
+        })
 
     sig_schema = f"{id_col} long, {vec_col} array<float>, _sig string"
     with_sig = corpus.select(id_col, vec_col).mapInPandas(add_sig, schema=sig_schema)
-    return with_sig.groupBy("_sig").applyInPandas(
+    # Explicit-width repartition on the bucket key: the per-bucket gram +
+    # pair expansion is heavy Python over few shuffled bytes (50k vectors =
+    # ~5 MB but 17M output pairs at sf1.0), so AQE's byte-based coalescing
+    # collapsed the stage to 5 tasks (measured 15.7 s/task). REPARTITION_BY_NUM
+    # is AQE-exempt and satisfies applyInPandas' clustering requirement.
+    spark = corpus.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return with_sig.repartition(n_parts, "_sig").groupBy("_sig").applyInPandas(
         pair_bucket, schema="id_a long, id_b long, cosine double, tier string"
     )
 
