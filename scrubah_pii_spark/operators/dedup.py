@@ -362,6 +362,48 @@ def exact_jaccard_pairs_prefix(
             .withColumn("jaccard", F.lit(1.0))
         )
 
+    # --- ADAPTIVE VERIFICATION PATH (round 8) -----------------------------
+    # Prefix filtering collapses on dense small-vocabulary corpora: when the
+    # corpus' distinct >min_word_len-char vocabulary is tiny, every set is
+    # dense in it, prefixes stop being selective, and the word self-join
+    # fans out quadratically (measured at sf1.0: 24-word vocabulary, 737M
+    # raw candidates, 127M after the size filter, 2073 s of JVM CPU in
+    # array_intersect verification). With vocab <= 64 every DISTINCT word
+    # set is exactly a 64-bit membership vector, so an exact blocked
+    # all-DISTINCT-pairs comparison (float32 indicator matmul = exact
+    # intersection counts, sizes <= 64) verifies every pair directly —
+    # identical output, no candidate machinery. The vocabulary probe is one
+    # tiny distinct+limit job over the persisted groups; corpora with a
+    # real vocabulary (webtext at 100 TB: millions of words) fail the gate
+    # and keep the general AllPairs prefix path below.
+    vocab_rows = (
+        groups.select(F.explode("ws").alias("word")).distinct().limit(65).collect()
+    )
+    if len(vocab_rows) <= 64:
+        verified = _jaccard_bitmask_verified(
+            groups, sorted(r["word"] for r in vocab_rows), threshold
+        )
+        if expand_groups:
+            cross = (
+                verified.select(
+                    F.explode("members_a").alias("id_x"), "members_b", "jaccard"
+                )
+                .select("id_x", F.explode("members_b").alias("id_y"), "jaccard")
+                .select(
+                    F.least("id_x", "id_y").alias("id_a"),
+                    F.greatest("id_x", "id_y").alias("id_b"),
+                    "jaccard",
+                )
+            )
+        else:
+            ra, rb = F.array_min("members_a"), F.array_min("members_b")
+            cross = verified.select(
+                F.least(ra, rb).alias("id_a"),
+                F.greatest(ra, rb).alias("id_b"),
+                "jaccard",
+            )
+        return within.unionByName(cross)
+
     # global word document-frequency over DISTINCT sets -> rarest-first order
     words = groups.select("fp", "sz", F.explode("ws").alias("word"))
     wdf = words.groupBy("word").agg(F.count("*").alias("wdf"))
@@ -433,6 +475,120 @@ def exact_jaccard_pairs_prefix(
             "jaccard",
         )
     return within.unionByName(cross)
+
+
+def _jaccard_bitmask_verified(
+    groups: DataFrame, vocab: list, threshold: float, blocks: int = 8,
+) -> DataFrame:
+    """Exact Jaccard >= threshold over DISTINCT word sets when the corpus
+    vocabulary fits in 64 bits (see the adaptive gate in
+    exact_jaccard_pairs_prefix). Returns (fp_a, fp_b, jaccard, members_a,
+    members_b) with fp_a < fp_b — the same shape the prefix path's verify
+    step produces, so both expand_groups branches consume it unchanged.
+
+    Shape: each distinct set is replicated to `blocks` block-pair tasks
+    (triangle join over pmod(xxhash64(fp), blocks)); each task compares its
+    two sub-blocks with one float32 indicator matmul per row chunk —
+    intersection counts are integers <= 64, exactly representable, and
+    jaccard = inter / (sz_a + sz_b - inter) is the identical int->double
+    division the expression path performs. Work is O(distinct_sets^2 / P)
+    bit-ops with NO dependence on word frequencies — the regime where
+    prefix filtering is quadratic anyway, now at ~1e9 vectorized cell
+    compares per second per core instead of per-candidate string
+    array_intersect."""
+    import numpy as np
+    import pandas as pd
+
+    bit = {w: i for i, w in enumerate(vocab)}
+    nbits = max(1, len(bit))
+    thr = float(threshold)
+
+    def kernel(key, pdf):
+        ti, tj = int(key[0]), int(key[1])
+        fps = pdf["fp"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        szs = pdf["sz"].to_numpy().astype(np.int64)
+        M = np.zeros((len(pdf), nbits), dtype=np.float32)
+        for r, ws in enumerate(pdf["ws"]):
+            row = M[r]
+            for w in ws:
+                row[bit[w]] = 1.0
+        out_a, out_b, out_j = [], [], []
+
+        def compare(ii, jj, within):
+            fi, fj = fps[ii], fps[jj]
+            sa = szs[ii]
+            sb = szs[jj]
+            Ai, Aj = M[ii], M[jj]
+            # row-chunk the gram so peak memory stays ~50 MB per task
+            step = max(1, 8_000_000 // max(1, len(jj)))
+            for lo in range(0, len(ii), step):
+                hi = lo + step
+                inter = (Ai[lo:hi] @ Aj.T).astype(np.int64)
+                union = sa[lo:hi, None] + sb[None, :] - inter
+                jac = inter / union          # int64 / int64 -> float64
+                mask = jac >= thr
+                if within:
+                    # positions are unique per set: keep x < y only
+                    xs = np.arange(lo, min(hi, len(ii)))
+                    mask &= xs[:, None] < np.arange(len(jj))[None, :]
+                xi, yi = np.nonzero(mask)
+                if len(xi) == 0:
+                    continue
+                fa = fi[lo + xi]
+                fb = fj[yi]
+                swap = fa > fb
+                out_a.append(np.where(swap, fb, fa))
+                out_b.append(np.where(swap, fa, fb))
+                out_j.append(jac[mask])
+
+        ii = np.nonzero(blks == ti)[0]
+        if ti == tj:
+            if len(ii) >= 2:
+                compare(ii, ii, within=True)
+        else:
+            jj = np.nonzero(blks == tj)[0]
+            if len(ii) and len(jj):
+                compare(ii, jj, within=False)
+        if not out_a:
+            return pd.DataFrame({
+                "fp_a": pd.Series([], dtype=str),
+                "fp_b": pd.Series([], dtype=str),
+                "jaccard": pd.Series([], dtype=float),
+            })
+        return pd.DataFrame({
+            "fp_a": np.concatenate(out_a),
+            "fp_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        })
+
+    spark = groups.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sets = groups.filter(F.col("sz") > 0).select("fp", "ws", "sz").withColumn(
+        "blk", F.pmod(F.xxhash64("fp"), F.lit(blocks)).cast("int")
+    )
+    tasks = (
+        sets.withColumn(
+            "other", F.explode(F.array(*[F.lit(x) for x in range(blocks)]))
+        )
+        .withColumn("ti", F.least("blk", "other"))
+        .withColumn("tj", F.greatest("blk", "other"))
+        .drop("other")
+    )
+    pairs = (
+        # explicit-width repartition: the block-pair kernel is heavy Python
+        # over few bytes — AQE's byte-based coalescing must not serialize it
+        tasks.repartition(n_parts, "ti", "tj")
+        .groupBy("ti", "tj")
+        .applyInPandas(kernel, "fp_a string, fp_b string, jaccard double")
+    )
+    ga = groups.select(
+        F.col("fp").alias("fp_a"), F.col("members").alias("members_a")
+    )
+    gb = groups.select(
+        F.col("fp").alias("fp_b"), F.col("members").alias("members_b")
+    )
+    return pairs.join(ga, "fp_a").join(gb, "fp_b")
 
 
 def expand_jaccard_group_edges(edges: DataFrame) -> DataFrame:

@@ -90,6 +90,63 @@ class TestJaccardPairs:
             }
             assert pref == naive, f"threshold {t}: {len(pref)} vs {len(naive)}"
 
+    def test_large_vocab_forces_prefix_path_identical(self, spark):
+        """>64 distinct words fails the r8 bitmask gate, so this corpus
+        exercises the general AllPairs prefix path — still pair-identical
+        to the naive definition. (The small-vocab fixtures above now route
+        through the bitmask branch, so without this corpus the prefix path
+        would lose its equivalence coverage.)"""
+        from scrubah_pii_spark.operators.dedup import (
+            exact_jaccard_pairs,
+            exact_jaccard_pairs_prefix,
+        )
+
+        vocab = [f"word{i:03d}" for i in range(120)]
+        docs = [
+            (k, " ".join(vocab[k: k + 20] + vocab[: max(0, k + 20 - 120)]))
+            for k in range(0, 110, 3)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.85, 0.5):
+            naive = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs(df, "text", "doc_id", threshold=t).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs_prefix(
+                    df, "text", "doc_id", threshold=t
+                ).collect()
+            }
+            assert pref == naive, f"threshold {t}: {len(pref)} vs {len(naive)}"
+
+    def test_small_vocab_bitmask_path_identical(self, spark):
+        """<=64-word vocabulary routes through the blocked-bitmask verify;
+        duplicates, subsets, an all-short-words (empty-set) doc and exact
+        threshold-boundary pairs must all match the naive definition."""
+        from scrubah_pii_spark.operators.dedup import (
+            exact_jaccard_pairs,
+            exact_jaccard_pairs_prefix,
+        )
+
+        vocab = [f"term{i}" for i in range(12)]
+        docs = [(k, " ".join(vocab[j] for j in range(12) if (k >> j) & 1))
+                for k in range(1, 60)]
+        docs += [(100, docs[5][1]), (101, docs[5][1]), (102, "a b c of")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.85, 0.5):
+            naive = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs(df, "text", "doc_id", threshold=t).collect()
+            }
+            bm = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in exact_jaccard_pairs_prefix(
+                    df, "text", "doc_id", threshold=t
+                ).collect()
+            }
+            assert bm == naive, f"threshold {t}: {len(bm)} vs {len(naive)}"
+
     def test_group_edges_expand_to_pairs(self, spark, webpages):
         """Bounded group-edge output (expand_groups=False) loses nothing:
         expand_jaccard_group_edges(edges) == the full pair list, on a corpus
