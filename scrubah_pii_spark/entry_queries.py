@@ -262,7 +262,7 @@ FROM s
 # --------------------------------------------------------------------------
 
 def q_langid(spark, sf_dir):
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     cols = langid_columns(F.col("text"))
     return df.select(
         "doc_id",
@@ -320,7 +320,7 @@ _SQL_NORM = (
 
 
 def q_content_hash(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         normalize_for_hashing_expr(F.col("text")).alias("normalized"),
         content_hash_expr(F.col("text")).alias("content_hash"),
@@ -334,7 +334,7 @@ FROM documents
 
 
 def q_exact_dedup(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumn("content_hash", content_hash_expr(F.col("text")))
+    df = _spread(_docs(spark, sf_dir)).withColumn("content_hash", content_hash_expr(F.col("text")))
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return df.select(
         "doc_id",
@@ -354,7 +354,7 @@ FROM h
 
 
 def q_token_stats(spark, sf_dir):
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0)
     return df.select(
         "doc_id",
@@ -374,7 +374,7 @@ FROM documents
 
 
 def q_doc_type(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id", doc_type_expr(F.lit(""), F.col("text")).alias("doc_type")
     )
 
@@ -397,7 +397,7 @@ FROM p
 
 def q_extract_dates(spark, sf_dir):
     dates = extract_dates_expr(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.size(dates).cast("long").alias("n_dates"),
         F.array_join(F.array_sort(dates), ",").alias("dates_sorted"),
@@ -423,7 +423,7 @@ FROM d
 def q_jaccard_pairs(spark, sf_dir):
     from .operators.dedup import exact_jaccard_pairs_prefix
 
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     # threshold 0.85 is the reference's dedup rule
     # (compressionPipeline.effect.ts:189-227); lower thresholds make the
     # OUTPUT itself quadratic in corpus size (0.5 emitted 9M rows at sf0.1).
@@ -447,7 +447,7 @@ def q_jaccard_group_edges(spark, sf_dir):
     (pytest-proven); output is linear in distinct sets + corpus size."""
     from .operators.dedup import exact_jaccard_pairs_prefix
 
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     edges = exact_jaccard_pairs_prefix(
         df, "text", "doc_id", threshold=0.85, expand_groups=False
     )
@@ -703,7 +703,7 @@ FROM a QUALIFY rnk <= 10
 def q_header_mode(spark, sf_dir):
     """Header/footer mode analog (fileParser.effect.ts:457-477): the most
     frequent leading 3-word prefix across documents."""
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
     prefix = F.concat_ws(" ", F.slice(words, 1, 3))
     counts = df.select(prefix.alias("prefix")).groupBy("prefix").agg(
@@ -742,7 +742,7 @@ def q_template_lines(spark, sf_dir):
     then run on real, non-empty rows in both engines."""
     from .operators.template import line_frequency_templates
 
-    df = _docs(spark, sf_dir).select(
+    df = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("url"),
         F.regexp_replace("text", r"\s+", "\n").alias("text"),
     )
@@ -983,7 +983,7 @@ def q_markdown_sink(spark, sf_dir):
             for t, i in zip(texts, ids)
         ])
 
-    df = _docs(spark, sf_dir)
+    df = _spread(_docs(spark, sf_dir))
     return df.select("doc_id", md_udf(F.col("text"), F.col("doc_id")).alias("markdown"))
 
 
@@ -1092,7 +1092,7 @@ def q_simhash(spark, sf_dir):
 def q_perplexity(spark, sf_dir):
     from .operators.scrub_op import log_perplexity_udf
 
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.round(log_perplexity_udf(F.col("text")), 6).alias("log_ppl")
     )
 
@@ -1486,7 +1486,14 @@ def q_yaml_sink(spark, sf_dir):
     from .oracles_sql import YAML_GENERATED_AT
 
     ev = _events(spark, sf_dir)
-    agg = ev.groupBy("user_id").agg(
+    # explicit-width repartition on the group key: the per-user YAML render
+    # is Python-heavy over few bytes, and AQE's byte-based coalescing would
+    # otherwise collapse the collect_list shuffle to ~1 post-shuffle
+    # partition at bench scale, serializing agg + render on one task.
+    # REPARTITION_BY_NUM is AQE-exempt and satisfies the groupBy clustering
+    # requirement, so no second exchange is added.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    agg = ev.repartition(n_parts, "user_id").groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         ).alias("evs"),
@@ -1540,7 +1547,9 @@ def q_timeline_report(spark, sf_dir):
     from .operators.report import timeline_markdown
 
     ev = _events(spark, sf_dir)
-    agg = ev.groupBy("user_id").agg(
+    # same AQE-exempt repartition rationale as q_yaml_sink above
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    agg = ev.repartition(n_parts, "user_id").groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
         ).alias("evs"),
@@ -1733,7 +1742,7 @@ def q_dup_span_strip(spark, sf_dir):
     is the naive materialize-every-gram SQL definition."""
     from .operators.sampling import dup_span_strip
 
-    out = dup_span_strip(_docs(spark, sf_dir), n=3, min_df=5)
+    out = dup_span_strip(_spread(_docs(spark, sf_dir)), n=3, min_df=5)
     return out.select(
         "doc_id",
         "cleaned_text",
@@ -1750,7 +1759,7 @@ def q_chunk_dedup(spark, sf_dir):
     row_number-over-chunk definition."""
     from .operators.sampling import chunk_dedup
 
-    return chunk_dedup(_docs(spark, sf_dir), chunk_words=5)
+    return chunk_dedup(_spread(_docs(spark, sf_dir)), chunk_words=5)
 
 
 def q_stratified_sample(spark, sf_dir):

@@ -171,22 +171,32 @@ def lsh_semantic_clusters(
         return pd.DataFrame(rows, columns=["node", "cluster_id"])
 
     def add_sig(iterator):
-        import pandas as pd
+        import numpy as np
 
+        P = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
         for pdf in iterator:
-            sigs = []
-            for v in pdf[vec_col]:
-                vv = list(v)
-                sigs.append(
-                    "".join("1" if _fold_dot(vv, p) >= 0 else "0" for p in planes)
-                )
+            vecs = [list(v) for v in pdf[vec_col]]
+            if vecs:
+                V = np.array(vecs, dtype=np.float64)
+                D = V @ P
+                # numpy dot vs sequential fold differ ~1e-16: re-decide the
+                # rare sign-boundary entries with the exact fold (same
+                # refinement as lsh_cosine_pairs_fast.add_sig)
+                for r, c in np.argwhere(np.abs(D) < 1e-9):
+                    D[r, c] = _fold_dot(vecs[r], planes[c])
+                sigs = ["".join(row) for row in np.where(D >= 0, "1", "0")]
+            else:
+                sigs = []
             pdf = pdf[[id_col, vec_col]].copy()
             pdf["_sig"] = sigs
             yield pdf
 
     sig_schema = f"{id_col} bigint, {vec_col} array<float>, _sig string"
     with_sig = emb.select(id_col, vec_col).mapInPandas(add_sig, schema=sig_schema)
-    return with_sig.groupBy("_sig").applyInPandas(
+    # explicit-width repartition: Python-heavy group kernel over few bytes —
+    # AQE's byte-based coalescing must not serialize it (see similarity.py)
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return with_sig.repartition(n_parts, "_sig").groupBy("_sig").applyInPandas(
         cluster_bucket, schema="node bigint, cluster_id bigint"
     )
 

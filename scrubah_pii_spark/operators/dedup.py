@@ -767,6 +767,12 @@ def dedup_verdicts_fused(
 # 2^31-1: keeps (x % P) * a + b < 2^62 — no int64 overflow under ANSI mode
 _P32 = 2147483647
 
+# shingle -> 60-bit id memo: md5 of a shingle is a pure function and shingles
+# repeat massively across documents of a real corpus; module-level so a
+# reused Python worker keeps it across batches and tasks (cleared past ~1M
+# entries inside the UDF loop)
+_shingle_memo: dict = {}
+
 
 def _minhash_params(k: int, seed: int = 42):
     out = []
@@ -810,6 +816,7 @@ def add_minhash_signature(
         a_arr = np.array(a_vec, dtype=np.int64)[:, None]
         b_arr = np.array(b_vec, dtype=np.int64)[:, None]
         ws = _re.compile(r"\s+")
+        memo = _shingle_memo  # per-batch alias of the worker-level dict
         out = []
         for t in texts:
             words = [w for w in ws.split((t or "").lower()) if w]
@@ -823,10 +830,16 @@ def add_minhash_signature(
             else:
                 out.append([_P32] * k)
                 continue
-            x = np.array(
-                [int(_hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles],
-                dtype=np.int64,
-            )[None, :]
+            if len(memo) > 1_000_000:
+                memo.clear()
+            ids = []
+            for s in shingles:
+                h = memo.get(s)
+                if h is None:
+                    h = int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    memo[s] = h
+                ids.append(h)
+            x = np.array(ids, dtype=np.int64)[None, :]
             sig = ((x % _P32) * a_arr + b_arr) % _P32
             out.append(sig.min(axis=1).tolist())
         return pd.Series(out)

@@ -83,43 +83,48 @@ def _doc_ngrams(
     """Per-document n-gram fingerprints: (_url, ngram_size, pos, content
     [normalized, hash input], orig [original lines]). Mirrors
     templateDetection.ts extractNGrams :306-335 — windows whose normalized
-    content has <10 non-ws chars are skipped."""
-    lines = _lines(df, text_col, url_col).withColumn(
-        "norm", F.lower(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    content has <10 non-ws chars are skipped.
+
+    Round 8: pure row-local ARRAY assembly — each doc's line array is split
+    once and every n-gram is a slice of it, so there is NO shuffle at all.
+    The previous shape (posexplode -> Window.partitionBy(url) with
+    2*(max_size-1) lead() columns) paid a full exchange of wide lead-rows
+    (266 MB at sf1.0) plus a per-doc sort just to reassemble adjacency that
+    the line array already encodes."""
+    lines_arr = F.split(F.col(text_col), "\n")
+    sel = df.select(
+        F.col(url_col).alias("_url"),
+        lines_arr.alias("_la"),
+        F.transform(
+            lines_arr,
+            lambda l: F.lower(F.trim(F.regexp_replace(l, r"\s+", " "))),
+        ).alias("_na"),
     )
-    # ONE window pass: all lead() offsets share a single sort, then every
-    # n-gram size is assembled from the same row and exploded once — the
-    # per-size collect_list variant ran `max_size-1` separate window stages
-    # over the same lines (≈2x wall on the sf0.1 strip query)
-    w = Window.partitionBy("_url").orderBy("pos")
-    sel = lines.select(
-        "_url", "pos", "line", "norm",
-        *[F.lead("norm", k).over(w).alias(f"_n{k}") for k in range(1, max_size)],
-        *[F.lead("line", k).over(w).alias(f"_o{k}") for k in range(1, max_size)],
-    )
-    gram_structs = []
-    for size in range(min_size, max_size + 1):
-        ncols = [F.col("norm")] + [F.col(f"_n{k}") for k in range(1, size)]
-        ocols = [F.col("line")] + [F.col(f"_o{k}") for k in range(1, size)]
-        # guard on the LAST lead: a null intermediate implies a null last
-        gram_structs.append(
-            F.when(
-                F.col(f"_n{size - 1}").isNotNull(),
-                F.struct(
-                    F.lit(size).alias("ngram_size"),
-                    F.concat_ws("\n", *ncols).alias("content"),
-                    F.concat_ws("\n", *ocols).alias("orig"),
-                ),
+    n = F.size("_la")
+
+    def _gram_builder(size):
+        # one-arg closure, NOT a defaulted second lambda param: F.transform
+        # dispatches on lambda arity and would pass the ARRAY INDEX as the
+        # second argument, clobbering the default
+        def build(i):
+            return F.struct(
+                F.lit(size).alias("ngram_size"),
+                F.concat_ws("\n", F.slice("_na", i + 1, size)).alias("content"),
+                F.concat_ws("\n", F.slice("_la", i + 1, size)).alias("orig"),
+                i.alias("pos"),
             )
+
+        return build
+
+    gram_arrays = []
+    for size in range(min_size, max_size + 1):
+        starts = F.when(n >= size, F.sequence(F.lit(0), n - size)).otherwise(
+            F.array().cast("array<int>")
         )
+        gram_arrays.append(F.transform(starts, _gram_builder(size)))
     all_grams = (
-        sel.select(
-            "_url", "pos",
-            F.explode(
-                F.filter(F.array(*gram_structs), lambda s: s.isNotNull())
-            ).alias("g"),
-        )
-        .select("_url", "g.ngram_size", "g.content", "g.orig", "pos")
+        sel.select("_url", F.explode(F.flatten(F.array(*gram_arrays))).alias("g"))
+        .select("_url", "g.ngram_size", "g.content", "g.orig", "g.pos")
         .filter(F.length(F.regexp_replace("content", r"\s", "")) >= 10)
     )
     return all_grams.withColumn("hash", fnv1a64_udf("content"))
@@ -183,16 +188,41 @@ def _ngram_corpus_raw(
         if fingerprints is not None
         else _doc_ngrams(df, text_col, url_col, min_size, max_size)
     )
-    corpus = (
-        hashed.groupBy("hash", "ngram_size")
+    # Shuffle keys and metadata, not payloads (guide §2.3): the stats
+    # aggregate (distinct-doc count + mean offset) shuffles only
+    # (hash, ngram_size, _url, pos) — the old single groupBy dragged every
+    # n-gram's content AND original lines through the count_distinct
+    # two-phase exchange (266 MB at sf1.0). The content/sample columns are
+    # fetched afterwards for the handful of hashes that pass the threshold
+    # (the corpus is dimension-sized by construction), via a broadcast
+    # semi-join back to the fingerprint frame.
+    stats = (
+        hashed.select("hash", "ngram_size", "_url", "pos")
+        .groupBy("hash", "ngram_size")
         .agg(
             F.count_distinct("_url").alias("doc_count"),
-            F.min("content").alias("sample"),
-            F.min_by("orig", "_url").alias("content"),
             F.avg("pos").alias("avg_line_offset"),
         )
         .filter(F.col("doc_count") >= threshold)
+    )
+    content = (
+        hashed.join(
+            F.broadcast(stats.select("hash", "ngram_size")),
+            ["hash", "ngram_size"],
+        )
+        .groupBy("hash", "ngram_size")
+        .agg(
+            F.min("content").alias("sample"),
+            F.min_by("orig", "_url").alias("content"),
+        )
+    )
+    corpus = (
+        stats.join(content, ["hash", "ngram_size"])
         .withColumn("template_id", F.concat(F.lit("tpl_"), F.substring("hash", 1, 8)))
+        .select(
+            "template_id", "hash", "ngram_size", "doc_count",
+            "content", "sample", "avg_line_offset",
+        )
     )
     return classify_corpus(corpus, avg_doc_lines), n_docs
 
@@ -274,10 +304,6 @@ def strip_ngram_templates(
         "template_id",
     )
 
-    covered = matches.select(
-        "_url", F.explode(F.sequence("line_start", "line_end")).alias("pos")
-    ).distinct()
-
     ref_type = ArrayType(StructType([
         StructField("template_id", StringType()),
         StructField("line_start", IntegerType()),
@@ -308,43 +334,53 @@ def strip_ngram_templates(
             ])
         return pd.Series(out)
 
-    refs = matches.groupBy("_url").agg(
+    # ONE per-url fold produces BOTH the overlap-deduped refs and the
+    # covered-line set (round 8): the previous shape spent three exchanges —
+    # refs groupBy, covered explode+distinct, and a lines anti-join +
+    # collect_list rebuild — where one match-row groupBy suffices; the
+    # stripped text is then rebuilt row-locally from the doc's own line
+    # array (split + array_except on positions), no line explode at all.
+    per_url = matches.groupBy("_url").agg(
         dedup_refs_udf(
             F.collect_list(F.struct("template_id", "line_start", "line_end"))
         ).alias("template_refs"),
-        F.count("*").alias("_n_matches"),
+        F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list(F.sequence("line_start", "line_end"))
+        ))).alias("_covered"),
     )
 
-    lines = _lines(df, text_col, url_col)
-    uniq = (
-        lines.join(covered, ["_url", "pos"], "left_anti")
-        .groupBy("_url")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("unique_lines"))
-        .withColumn(
-            out_col,
-            F.concat_ws("\n", F.transform("unique_lines", lambda s: s.getField("line"))),
-        )
+    lines_arr = F.split(F.col(text_col), "\n")
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.col("_n_lines") - 1),
+        F.coalesce(F.col("_covered"), F.array().cast("array<int>")),
     )
-
     out = (
-        df.join(uniq.withColumnRenamed("_url", url_col), url_col, "left")
-        .join(refs.withColumnRenamed("_url", url_col), url_col, "left")
-        # lines-per-doc natively from the text itself — the former
-        # groupBy(max(pos)+1) + third join was a whole extra shuffle.
+        df.join(per_url.withColumnRenamed("_url", url_col), url_col, "left")
         # when() keeps NULL text -> NULL _n_lines -> NULL coverage (legacy
         # sizeOfNull would otherwise make size(split(NULL)) = -1).
         .withColumn(
             "_n_lines",
-            F.when(
-                F.col(text_col).isNotNull(),
-                F.size(F.split(F.col(text_col), "\n")),
+            F.when(F.col(text_col).isNotNull(), F.size(lines_arr)),
+        )
+        .withColumn(
+            "unique_lines",
+            F.coalesce(
+                F.transform(
+                    kept,
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.element_at(lines_arr, p + 1).alias("line"),
+                    ),
+                ),
+                F.expr("CAST(array() AS array<struct<pos:int,line:string>>)"),
             ),
         )
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
-        .withColumn("unique_lines", F.coalesce(
-            F.col("unique_lines"),
-            F.expr("CAST(array() AS array<struct<pos:int,line:string>>)"),
-        ))
+        .withColumn(
+            out_col,
+            F.concat_ws(
+                "\n", F.transform("unique_lines", lambda s: s.getField("line"))
+            ),
+        )
         .withColumn("template_refs", F.coalesce(
             F.col("template_refs"),
             F.expr("CAST(array() AS array<struct<template_id:string,line_start:int,line_end:int>>)"),
@@ -355,7 +391,7 @@ def strip_ngram_templates(
             (F.col("_n_lines") - F.size("unique_lines")).cast("double")
             / F.greatest(F.col("_n_lines"), F.lit(1)).cast("double"),
         )
-        .drop("_n_matches", "_n_lines")
+        .drop("_covered", "_n_lines")
     )
     return out
 
