@@ -891,10 +891,14 @@ def minhash_dedup_pairs(
         ).alias("bk"),
     ).select("fp", "minhash", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
+    # est AFTER the pair dedup: a signature pair colliding in m bands used
+    # to evaluate the k-element zip_with/filter estimate m times (once per
+    # collision row) before dropDuplicates discarded the copies; carrying
+    # the arrays through the dedup instead evaluates it once per pair
     est = (
         F.size(
             F.filter(
-                F.zip_with(F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y),
+                F.zip_with(F.col("_mh_a"), F.col("_mh_b"), lambda x, y: x == y),
                 lambda eq: eq,
             )
         ).cast("double")
@@ -907,8 +911,12 @@ def minhash_dedup_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.fp") < F.col("b.fp")),
         )
-        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"), est.alias("est_jaccard"))
+        .select(
+            F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"),
+            F.col("a.minhash").alias("_mh_a"), F.col("b.minhash").alias("_mh_b"),
+        )
         .dropDuplicates(["fp_a", "fp_b"])
+        .select("fp_a", "fp_b", est.alias("est_jaccard"))
     )
     ga = groups.select(F.col("fp").alias("fp_a"), F.col("members").alias("members_a"))
     gb = groups.select(F.col("fp").alias("fp_b"), F.col("members").alias("members_b"))

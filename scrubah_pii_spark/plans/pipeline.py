@@ -186,10 +186,41 @@ def run_pipeline(
     # it, a single downstream action submits the verdict-build stage and the
     # join-probe stage concurrently and both compute the label UDF
     # (round-7 A/B at 2M x 4x8: 207.2 s lazy vs 149.0 s eager — the lazy
-    # "one action" run pays the label stage nearly twice).
-    if cfg.eager_label_barrier:
+    # "one action" run pays the label stage nearly twice). Round 8 adds the
+    # size gate (cfg.barrier_min_input_bytes): for small file-backed inputs
+    # the barrier's extra action costs more than the double-compute it
+    # prevents; unknown-size inputs keep the barrier.
+    if cfg.eager_label_barrier and (
+        _input_bytes(df) >= cfg.barrier_min_input_bytes
+    ):
         labeled.count()
     return finish_pipeline(labeled, cfg)
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the frame's file-backed input, or a huge sentinel when
+    it cannot be determined (non-file sources, remote schemes without a
+    cheap local stat) — 'unknown' must err toward KEEPING the barrier."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    unknown = 1 << 62
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return unknown
+    if not files:
+        return unknown
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return unknown
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return unknown
+    return total
 
 
 def finish_pipeline(
