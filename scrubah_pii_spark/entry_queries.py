@@ -60,23 +60,30 @@ def _spread(df: DataFrame) -> DataFrame:
     if os.environ.get("SCRUBAH_SPREAD") == "0":
         return df
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-        return df
+        # the ONLY expected failure here is Spark Connect's missing
+        # sparkContext/RDD bridge — probe it first so a genuine
+        # analysis/repartition error below propagates instead of being
+        # silently swallowed (r7 ADVICE)
+        sc = df.sparkSession.sparkContext
     except Exception:
-        # Spark Connect has no sparkContext / RDD bridge. Fall back to a
-        # Connect-safe heuristic: a scan over fewer files than the session's
-        # shuffle width is the single-file trap this helper exists for.
+        # Spark Connect. Fall back to a Connect-safe heuristic: a scan over
+        # fewer files than the session's shuffle width is the single-file
+        # trap this helper exists for. inputFiles() == [] means a derived /
+        # non-file-backed frame whose width is unknown — no-op, never an
+        # unconditional repartition (r7 ADVICE).
         try:
             target = int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
             )
-            if len(df.inputFiles()) < target:
-                return df.repartition(target)
+            files = df.inputFiles()
         except Exception:
-            pass
+            return df
+        if files and len(files) < target:
+            return df.repartition(target)
         return df
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 

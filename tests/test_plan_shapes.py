@@ -235,7 +235,9 @@ class TestSpreadHelper:
         with mock.patch.object(
             type(df), "sparkSession", property(lambda self: NoContextSession())
         ):
-            # must not raise; either the inputFiles heuristic repartitions
-            # or the final no-op fallback returns the frame untouched
+            # must not raise; and a local (non-file-backed) frame has
+            # inputFiles() == [] — unknown width — so the fallback must be
+            # a NO-OP, never an unconditional repartition (r7 ADVICE)
             out = _spread(df)
+        assert out is df
         assert sorted(r["x"] for r in out.collect()) == list(range(10))

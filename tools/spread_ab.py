@@ -10,7 +10,7 @@ equally, and asserts the row counts agree across arms.
 
   python tools/spread_ab.py [reps=3] [sf_dir=/root/testdata/sf0.1] [q1,q2,...]
 
-Appends the per-query table to BENCH/spread_ab_r7.json; the winner is then
+Writes (OVERWRITES) the per-query table to BENCH/spread_ab_r7.json; the winner is then
 hard-coded at each call site (the env toggle SCRUBAH_SPREAD=0 exists only
 for this measurement).
 """
