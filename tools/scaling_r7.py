@@ -53,7 +53,7 @@ def run(execs: int, n_docs: int, pin: str | None, mem_mb: int, note: str,
     if pin:
         cmd = ["taskset", "-c", pin] + cmd
     env = dict(os.environ, SCRUBAH_EXEC_MEM_MB=str(mem_mb))
-    # round-5 measured Arrow-batch knee at 4N: 256 rows (see scaling_r6.py)
+    # round-5 measured Arrow-batch knee at 4N: 256 rows (measured in the round-5/6 campaigns, BENCH/scaling_r6.jsonl)
     env.setdefault("SCRUBAH_ARROW_BATCH", "256")
     env.update(extra_env or {})
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200,
