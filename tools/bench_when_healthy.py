@@ -41,8 +41,9 @@ def main():
     attempt = 0
     while time.time() < deadline:
         p = probe_1t()
-        log(f"probe 1t={p:.1f} GB/s (need >= {MIN_1T})")
-        if p >= MIN_1T:
+        load1 = os.getloadavg()[0]
+        log(f"probe 1t={p:.1f} GB/s load1={load1:.1f} (need >= {MIN_1T}, load < 4)")
+        if p >= MIN_1T and load1 < 4.0:
             attempt += 1
             log(f"healthy window — running official bench (attempt {attempt})")
             env = dict(os.environ)
