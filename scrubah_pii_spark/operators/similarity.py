@@ -299,42 +299,42 @@ def lsh_cosine_pairs_fast(
             else "related"
         )
 
-    def pair_bucket(pdf):
-        # Collapse identical embeddings BEFORE the gram matrix: a
-        # mega-cluster of identical docs (scrubbed boilerplate — the common
-        # webtext case) must cost O(g^2) in DISTINCT vectors, not O(m^2) in
-        # members; the (unavoidably pairwise) output is expanded from group
-        # edges afterward. Bit-parity with the old all-rows gram is free:
-        # identical rows produced identical gram entries, and the
-        # within-group cosine equals the representative's diagonal entry.
+    # Block split (r8): one LSH bucket's pair work is otherwise a single
+    # task, and real buckets are skewed (largest bucket = 45% of all pairs
+    # at sf1.0; 5.6 s max task vs ~1 s median measured). Each bucket's rows
+    # are hashed into `block_split` blocks and every unordered block pair
+    # becomes its own applyInPandas group — B(B+1)/2 tasks per bucket, each
+    # pair of vectors compared in exactly one task. Gram entries are the
+    # same float64 dot/norm arithmetic regardless of which sub-matrix they
+    # land in, and every decision-edge entry is re-decided with the exact
+    # sequential fold, so the block decomposition cannot change output.
+    block_split = 4
+
+    def pair_block(key, pdf):
+        ti, tj = int(key[1]), int(key[2])
         ids = pdf[id_col].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine", "tier"])
+        blks = pdf["_blk"].to_numpy()
         vecs = [list(v) for v in pdf[vec_col]]
-        V = np.array(vecs, dtype=np.float64)
-        groups: dict[bytes, list[int]] = {}
-        for idx in range(n):
-            groups.setdefault(V[idx].tobytes(), []).append(idx)
-        reps = [m[0] for m in groups.values()]
-        members = [sorted(int(ids[i]) for i in m) for m in groups.values()]
-        R = V[reps]
-        norms = np.sqrt((R * R).sum(axis=1))
-        G = R @ R.T
-        denom = np.outer(norms, norms)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            C = np.where(denom > 0, G / denom, 0.0)
-        g = len(reps)
+        V = np.array(vecs, dtype=np.float64) if len(vecs) else np.zeros((0, 1))
         col_a, col_b, col_c, col_t = [], [], [], []
 
+        def collapse(side_idx):
+            """Identical embeddings collapse to one representative BEFORE
+            the gram: a mega-cluster of identical docs (scrubbed
+            boilerplate) must cost O(distinct), not O(members^2); identical
+            rows produce identical gram entries, so parity is free."""
+            groups: dict[bytes, list[int]] = {}
+            for idx in side_idx:
+                groups.setdefault(V[idx].tobytes(), []).append(idx)
+            reps = [m[0] for m in groups.values()]
+            members = [sorted(int(ids[i]) for i in m) for m in groups.values()]
+            return reps, members
+
         def decide(c, ri, rj):
-            """Boundary-aware final cosine for a rep pair, or None to drop."""
+            """Boundary-aware final cosine for a rep pair, or None to drop.
+            inf/NaN embeddings (corrupt upstream floats) drop the pair,
+            matching the `cos >= threshold - 1e-9` prefilter behavior."""
             if not math.isfinite(c):
-                # inf/NaN embeddings (corrupt upstream floats) make the gram
-                # entry inf/inf = NaN; every comparison below would be False
-                # and math.floor(nan) would crash the Arrow task. Drop the
-                # pair, matching the pre-group-collapse behavior where the
-                # `cos >= threshold - 1e-9` prefilter silently excluded it.
                 return None
             near_boundary = any(abs(c - b) < 1e-9 for b in boundaries)
             frac = (c * 1e6) % 1.0
@@ -345,38 +345,35 @@ def lsh_cosine_pairs_fast(
                 return None
             return math.floor(c * 1e6 + 0.5) / 1e6
 
-        # Pair decisions AND expansion are bucket-level numpy (r8): the r7
-        # shape appended one Python tuple per output pair (17M rows at
-        # sf1.0); a first rewrite vectorized per GROUP PAIR, which was
-        # ~15 tiny numpy calls per mostly-singleton pair and measured 3x
-        # SLOWER — real corpora hash-bucket into ~all-distinct vectors, so
-        # the bulk path must be per BUCKET. Boundary refinement stays exact:
-        # risky entries (near a tier/threshold boundary, near a 6-decimal
-        # rounding edge, or non-finite) are re-decided with the sequential
-        # fold, exactly like decide(); they are a vanishing fraction.
-        # within-group pairs: one decision per group, applied to all pairs
-        # (multi-member groups are rare on real corpora — loop is fine)
-        for gi in range(g):
-            mem = members[gi]
-            if len(mem) < 2:
-                continue
-            c = decide(C[gi, gi], reps[gi], reps[gi])
-            if c is None:
-                continue
-            m_arr = np.array(mem, dtype=np.int64)  # sorted asc -> a < b
-            iu, ju = np.triu_indices(len(m_arr), k=1)
-            col_a.append(m_arr[iu])
-            col_b.append(m_arr[ju])
-            col_c.append(np.full(len(iu), c))
-            col_t.append(np.full(len(iu), _tier(c), dtype=object))
-        # cross-group pairs: one gram entry + decision per group PAIR
-        if g >= 2:
-            iu, ju = np.triu_indices(g, k=1)
-            cos = C[iu, ju]
+        def emit_cross(reps_a, members_a, reps_b, members_b, upper_only):
+            """All qualifying rep pairs between two group lists (the full
+            rectangle, or the strict upper triangle when both sides are the
+            same list). Decisions AND expansion are bucket-level numpy: a
+            per-group-pair numpy rewrite measured 3x SLOWER than tuple
+            appends on singleton-dominated buckets (r8 finding) — the bulk
+            path must batch the whole block pair. Risky entries (near a
+            tier/threshold boundary, near a 6-decimal rounding edge, or
+            non-finite) are re-decided with the sequential fold."""
+            ga, gb = len(reps_a), len(reps_b)
+            if ga == 0 or gb == 0:
+                return
+            Ra, Rb = V[reps_a], V[reps_b]
+            na = np.sqrt((Ra * Ra).sum(axis=1))
+            nb = np.sqrt((Rb * Rb).sum(axis=1))
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, (Ra @ Rb.T) / denom, 0.0)
+            if upper_only:
+                iu, ju = np.triu_indices(ga, k=1)
+                cos = C[iu, ju]
+            else:
+                iu, ju = np.meshgrid(
+                    np.arange(ga), np.arange(gb), indexing="ij"
+                )
+                iu, ju = iu.ravel(), ju.ravel()
+                cos = C.ravel()
             cand = cos >= threshold - 1e-9
             iu, ju, cos = iu[cand], ju[cand], np.ascontiguousarray(cos[cand])
-            # exact-fold refinement for decision-edge entries (same cases
-            # decide() refines, computed as vector masks)
             finite = np.isfinite(cos)
             risky = ~finite
             safe_cos = np.where(finite, cos, 0.0)
@@ -386,36 +383,67 @@ def lsh_cosine_pairs_fast(
             risky |= np.abs(frac - 0.5) < 1e-6
             for k in np.nonzero(risky)[0]:
                 cos[k] = (
-                    _exact_cos(vecs[reps[iu[k]]], vecs[reps[ju[k]]])
+                    _exact_cos(vecs[reps_a[iu[k]]], vecs[reps_b[ju[k]]])
                     if math.isfinite(cos[k]) else np.nan
                 )
             keep = np.isfinite(cos) & (cos >= threshold)
             iu, ju, cos = iu[keep], ju[keep], cos[keep]
+            if len(iu) == 0:
+                return
             rounded = np.floor(cos * 1e6 + 0.5) / 1e6
             tiers = np.where(
                 rounded >= 0.95, "duplicate",
                 np.where(rounded >= 0.85, "similar", "related"),
             ).astype(object)
-            nmem = np.array([len(m) for m in members], dtype=np.int64)
-            first_id = np.array([m[0] for m in members], dtype=np.int64)
-            both_single = (nmem[iu] == 1) & (nmem[ju] == 1)
-            # bulk path: singleton x singleton group pairs emit directly
-            a = first_id[iu[both_single]]
-            b = first_id[ju[both_single]]
+            nmem_a = np.array([len(m) for m in members_a], dtype=np.int64)
+            nmem_b = np.array([len(m) for m in members_b], dtype=np.int64)
+            first_a = np.array([m[0] for m in members_a], dtype=np.int64)
+            first_b = np.array([m[0] for m in members_b], dtype=np.int64)
+            both_single = (nmem_a[iu] == 1) & (nmem_b[ju] == 1)
+            a = first_a[iu[both_single]]
+            b = first_b[ju[both_single]]
             col_a.append(np.minimum(a, b))
             col_b.append(np.maximum(a, b))
             col_c.append(rounded[both_single])
             col_t.append(tiers[both_single])
             # rare path: pairs touching a multi-member group expand m*n ways
             for k in np.nonzero(~both_single)[0]:
-                ma = np.array(members[iu[k]], dtype=np.int64)
-                mb = np.array(members[ju[k]], dtype=np.int64)
+                ma = np.array(members_a[iu[k]], dtype=np.int64)
+                mb = np.array(members_b[ju[k]], dtype=np.int64)
                 aa = np.repeat(ma, len(mb))
                 bb = np.tile(mb, len(ma))
                 col_a.append(np.minimum(aa, bb))
                 col_b.append(np.maximum(aa, bb))
                 col_c.append(np.full(len(aa), rounded[k]))
                 col_t.append(np.full(len(aa), tiers[k], dtype=object))
+
+        if ti == tj:
+            side = np.nonzero(blks == ti)[0]
+            reps, members = collapse(side)
+            # within-group pairs: one decision per group (multi-member
+            # groups are rare on real corpora — loop is fine)
+            for gi, mem in enumerate(members):
+                if len(mem) < 2:
+                    continue
+                c = decide(_self_cos(V[reps[gi]]), reps[gi], reps[gi])
+                if c is None:
+                    continue
+                m_arr = np.array(mem, dtype=np.int64)  # sorted -> a < b
+                iu, ju = np.triu_indices(len(m_arr), k=1)
+                col_a.append(m_arr[iu])
+                col_b.append(m_arr[ju])
+                col_c.append(np.full(len(iu), c))
+                col_t.append(np.full(len(iu), _tier(c), dtype=object))
+            emit_cross(reps, members, reps, members, upper_only=True)
+        else:
+            side_a = np.nonzero(blks == ti)[0]
+            side_b = np.nonzero(blks == tj)[0]
+            if len(side_a) and len(side_b):
+                reps_a, members_a = collapse(side_a)
+                reps_b, members_b = collapse(side_b)
+                emit_cross(reps_a, members_a, reps_b, members_b,
+                           upper_only=False)
+
         if not col_a:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine", "tier"])
         return pd.DataFrame({
@@ -425,17 +453,39 @@ def lsh_cosine_pairs_fast(
             "tier": np.concatenate(col_t),
         })
 
+    def _self_cos(v):
+        """Diagonal gram entry exactly as the full-matrix path computed it:
+        dot(v,v)/(|v||v|) in float64 (0.0 for the zero vector)."""
+        d = float(np.dot(v, v))
+        n2 = math.sqrt(d) * math.sqrt(d)
+        return d / n2 if n2 > 0 else 0.0
+
     sig_schema = f"{id_col} long, {vec_col} array<float>, _sig string"
     with_sig = corpus.select(id_col, vec_col).mapInPandas(add_sig, schema=sig_schema)
-    # Explicit-width repartition on the bucket key: the per-bucket gram +
-    # pair expansion is heavy Python over few shuffled bytes (50k vectors =
+    # Explicit-width repartition on (bucket, block pair): the per-block gram
+    # + pair expansion is heavy Python over few shuffled bytes (50k vectors =
     # ~5 MB but 17M output pairs at sf1.0), so AQE's byte-based coalescing
     # collapsed the stage to 5 tasks (measured 15.7 s/task). REPARTITION_BY_NUM
     # is AQE-exempt and satisfies applyInPandas' clustering requirement.
     spark = corpus.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return with_sig.repartition(n_parts, "_sig").groupBy("_sig").applyInPandas(
-        pair_bucket, schema="id_a long, id_b long, cosine double, tier string"
+    tasks = (
+        with_sig.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(block_split)).cast("int")
+        )
+        .withColumn(
+            "_other", F.explode(F.array(*[F.lit(x) for x in range(block_split)]))
+        )
+        .withColumn("_ti", F.least("_blk", "_other"))
+        .withColumn("_tj", F.greatest("_blk", "_other"))
+        .drop("_other")
+    )
+    return (
+        tasks.repartition(n_parts, "_sig", "_ti", "_tj")
+        .groupBy("_sig", "_ti", "_tj")
+        .applyInPandas(
+            pair_block, schema="id_a long, id_b long, cosine double, tier string"
+        )
     )
 
 
