@@ -42,8 +42,8 @@ def main():
     while time.time() < deadline:
         p = probe_1t()
         load1 = os.getloadavg()[0]
-        log(f"probe 1t={p:.1f} GB/s load1={load1:.1f} (need >= {MIN_1T}, load < 4)")
-        if p >= MIN_1T and load1 < 4.0:
+        log(f"probe 1t={p:.1f} GB/s load1={load1:.1f} (need >= {MIN_1T}, load < 8)")
+        if p >= MIN_1T and load1 < 8.0:
             attempt += 1
             log(f"healthy window — running official bench (attempt {attempt})")
             env = dict(os.environ)
@@ -83,7 +83,7 @@ def main():
                 log("window held — watcher exiting")
                 return
             log("window collapsed mid-run — retrying")
-        time.sleep(240)
+        time.sleep(120)
     log("no healthy window before deadline")
 
 
