@@ -33,16 +33,27 @@ def line_frequency_templates(
     df: DataFrame, text_col: str, url_col: str = "url",
     min_len: int = 20, frac: float = 0.5, min_docs: int = 2,
 ) -> DataFrame:
-    """The template-line dimension table: (trimmed, doc_count)."""
-    n_docs = df.count()
-    threshold = max(min_docs, int(n_docs * frac))
+    """The template-line dimension table: (trimmed, doc_count).
+
+    The doc count rides the plan as a broadcast 1-row aggregate instead of a
+    driver count() (guide §1.4/§5.2): one action fewer per consumer, and the
+    corpus scan overlaps the line stages inside the same job. `int(n * frac)`
+    == floor(n * frac) for the non-negative product, so the in-plan threshold
+    is the same integer the collected one was."""
+    scalars = df.agg(F.count("*").alias("_docs"))
+    threshold = F.greatest(
+        F.lit(min_docs).cast("long"),
+        F.floor(F.col("_docs") * F.lit(float(frac))),
+    )
     return (
         _lines(df, text_col, url_col)
         .filter(F.length("trimmed") >= min_len)
         .dropDuplicates(["_url", "trimmed"])
         .groupBy("trimmed")
         .agg(F.count("*").alias("doc_count"))
+        .crossJoin(F.broadcast(scalars))
         .filter(F.col("doc_count") >= threshold)
+        .drop("_docs")
     )
 
 
@@ -149,17 +160,10 @@ def ngram_template_corpus(
     Deviation (documented): the reference keeps the FIRST-seen doc's original
     lines as template content; we keep the min-by-url doc's (deterministic
     under any partitioning)."""
-    corpus, n_docs = _ngram_corpus_raw(
+    corpus = _ngram_corpus_raw(
         df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
         fingerprints,
     )
-    if corpus is None:
-        return df.sparkSession.createDataFrame(
-            [],
-            "template_id string, hash string, ngram_size int, doc_count long,"
-            " content string, sample string, avg_line_offset double,"
-            " position string, template_type string",
-        )
     if eliminate_overlaps:
         corpus = remove_overlapping_templates(corpus)
     return corpus
@@ -169,19 +173,27 @@ def _ngram_corpus_raw(
     df, text_col, url_col, min_size, max_size, threshold_frac, min_docs,
     fingerprints=None,
 ):
-    # ONE action for both corpus-sized scalars (doc count + avg doc lines);
-    # lines-per-doc == size(split(text)) natively — no explode/groupBy pass.
-    # NULL-text rows are excluded (they used to be absent from the
+    # The corpus-sized scalars (doc count + avg doc lines) ride the plan as a
+    # broadcast 1-row aggregate instead of a driver collect() (guide
+    # §1.4/§5.2): the corpus build is ONE action (the overlap-dedup fetch)
+    # instead of two, and the doc scan overlaps the fingerprint stages inside
+    # the same job rather than serializing ahead of them. Both scalars are
+    # exact (long sum / count), so the in-plan values equal the collected
+    # ones bit-for-bit; `int(n * frac)` == floor for the non-negative
+    # product. NULL-text rows are excluded (they used to be absent from the
     # posexplode-era aggregate; size(split(NULL)) would contribute -1) and
     # docs counts DISTINCT urls, matching the old groupBy('_url') semantics.
-    stats = df.filter(F.col(text_col).isNotNull()).agg(
-        F.count_distinct(F.col(url_col)).alias("docs"),
-        F.avg(F.size(F.split(F.col(text_col), "\n"))).alias("avg_lines"),
-    ).collect()[0]
-    n_docs, avg_doc_lines = int(stats["docs"]), float(stats["avg_lines"] or 0.0)
-    if n_docs < min_docs:
-        return None, n_docs
-    threshold = max(min_docs, int(n_docs * threshold_frac))
+    # The old `n_docs < min_docs -> empty corpus` early return is subsumed:
+    # doc_count <= _docs, and the threshold is >= min_docs, so no row passes
+    # when _docs < min_docs (the conjunct below keeps the rule explicit).
+    scalars = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count_distinct(F.col(url_col)).alias("_docs"),
+        F.avg(F.size(F.split(F.col(text_col), "\n"))).alias("_avg_lines"),
+    )
+    threshold = F.greatest(
+        F.lit(min_docs).cast("long"),
+        F.floor(F.col("_docs") * F.lit(float(threshold_frac))),
+    )
 
     hashed = (
         fingerprints
@@ -203,7 +215,10 @@ def _ngram_corpus_raw(
             F.count_distinct("_url").alias("doc_count"),
             F.avg("pos").alias("avg_line_offset"),
         )
-        .filter(F.col("doc_count") >= threshold)
+        .crossJoin(F.broadcast(scalars))
+        .filter(
+            (F.col("_docs") >= min_docs) & (F.col("doc_count") >= threshold)
+        )
     )
     content = (
         hashed.join(
@@ -221,10 +236,23 @@ def _ngram_corpus_raw(
         .withColumn("template_id", F.concat(F.lit("tpl_"), F.substring("hash", 1, 8)))
         .select(
             "template_id", "hash", "ngram_size", "doc_count",
-            "content", "sample", "avg_line_offset",
+            "content", "sample", "avg_line_offset", "_avg_lines",
         )
     )
-    return classify_corpus(corpus, avg_doc_lines), n_docs
+    # classify_corpus's position rule with the avg-lines scalar read from the
+    # plan instead of the driver: `float(avg or 0.0) <= 0 -> MIDDLE` becomes
+    # coalesce(avg, 0.0) <= 0; the offset/avg double division is unchanged.
+    pos_expr = (
+        F.when(F.coalesce(F.col("_avg_lines"), F.lit(0.0)) <= 0.0, F.lit("MIDDLE"))
+        .when(F.col("avg_line_offset") / F.col("_avg_lines") <= 0.2, F.lit("START"))
+        .when(F.col("avg_line_offset") / F.col("_avg_lines") >= 0.8, F.lit("END"))
+        .otherwise(F.lit("MIDDLE"))
+    )
+    return (
+        corpus.withColumn("position", pos_expr)
+        .withColumn("template_type", _classify_type_udf()("sample", "position"))
+        .drop("_docs", "_avg_lines")
+    )
 
 
 def remove_overlapping_templates(corpus: DataFrame) -> DataFrame:
@@ -433,15 +461,28 @@ def reconstruct_ngram_documents(
     )
 
 
+def _classify_type_udf():
+    """Arrow UDF for the template-type classifier (templateDetection.ts:
+    188-249) — shared by classify_corpus and the in-plan corpus build."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from ..core.hashing import classify_template_type
+
+    @F.pandas_udf(StringType())
+    def classify_udf(samples, positions):
+        return pd.Series([
+            classify_template_type(s or "", p or "MIDDLE")
+            for s, p in zip(samples, positions)
+        ])
+
+    return classify_udf
+
+
 def classify_corpus(corpus: DataFrame, avg_doc_lines: float) -> DataFrame:
     """Adds position (START/END/MIDDLE by 20%/80% offset rule) and
     template_type (HEADER/FOOTER/SIGNATURE/LEGAL/... classifier,
     templateDetection.ts:188-249) to the (small) corpus frame."""
-    import pandas as pd
-    from pyspark.sql.types import StringType
-
-    from ..core.hashing import classify_template_type, template_position
-
     if avg_doc_lines <= 0:
         pos_expr = F.lit("MIDDLE")
     else:
@@ -451,12 +492,7 @@ def classify_corpus(corpus: DataFrame, avg_doc_lines: float) -> DataFrame:
             .otherwise("MIDDLE")
         )
 
-    @F.pandas_udf(StringType())
-    def classify_udf(samples, positions):
-        return pd.Series([
-            classify_template_type(s or "", p or "MIDDLE")
-            for s, p in zip(samples, positions)
-        ])
-
     out = corpus.withColumn("position", pos_expr)
-    return out.withColumn("template_type", classify_udf("sample", "position"))
+    return out.withColumn(
+        "template_type", _classify_type_udf()("sample", "position")
+    )

@@ -241,3 +241,62 @@ class TestSpreadHelper:
             out = _spread(df)
         assert out is df
         assert sorted(r["x"] for r in out.collect()) == list(range(10))
+
+
+class TestTemplateCorpusLazy:
+    """Round 8: the corpus-sized scalars (doc count / avg lines, and the
+    line-frequency doc count) ride the plan as a broadcast 1-row aggregate.
+    Constructing the corpus frame must therefore launch ZERO Spark jobs —
+    the single action is the overlap-dedup collect. A driver collect()
+    sneaking back into construction is exactly the two-action regression
+    this pins."""
+
+    def _jobs_run(self, spark, fn):
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        fn()
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        return after - before
+
+    def test_ngram_corpus_construction_is_lazy(self, spark):
+        from scrubah_pii_spark.operators.template import _ngram_corpus_raw
+
+        df = spark.createDataFrame(
+            [(str(i), "hdr line one\nhdr line two\nbody %d\nfooter line" % i)
+             for i in range(6)],
+            "url string, text string",
+        )
+        built = {}
+
+        def construct():
+            built["corpus"] = _ngram_corpus_raw(
+                df, "text", "url", 2, 5, 0.3, 3, None
+            )
+
+        assert self._jobs_run(spark, construct) == 0
+        # and the in-plan scalars produce the same corpus the collected
+        # scalars did: every doc shares hdr/footer -> doc_count == 6
+        rows = built["corpus"].collect()
+        assert rows and all(r["doc_count"] == 6 for r in rows)
+        assert all(r["template_type"] for r in rows)
+
+    def test_line_frequency_construction_is_lazy(self, spark):
+        from scrubah_pii_spark.operators.template import (
+            line_frequency_templates,
+        )
+
+        df = spark.createDataFrame(
+            [(str(i), "the same boilerplate line\nunique %d" % i)
+             for i in range(4)],
+            "url string, text string",
+        )
+        built = {}
+
+        def construct():
+            built["t"] = line_frequency_templates(df, "text", "url")
+
+        assert self._jobs_run(spark, construct) == 0
+        rows = built["t"].collect()
+        assert [(r["trimmed"], r["doc_count"]) for r in rows] == [
+            ("the same boilerplate line", 4)
+        ]
